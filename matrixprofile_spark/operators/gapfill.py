@@ -1,0 +1,111 @@
+"""Time-grid gap-fill as pure DataFrame ops.
+
+DataFrame-level counterpart of the reference's `impute_missing`
+(/root/reference/matrixprofile/preprocess.py:140-222). Two layers:
+
+1. `to_grid` — densify each (conv_id, metric) series onto a fixed-step
+   time grid: `sequence(min_ts, max_ts, step)` + explode + left join.
+   Missing grid points surface as NULL values (the reference's NaN).
+2. `fill_locf` / `fill_window_stat` — imputation:
+   - LOCF forward/backward via `last(value, ignorenulls=True)` over an
+     unbounded-preceding window (and `first(...)` for backward) — the
+     degenerate-but-dominant case, fully Catalyst-native and
+     oracle-checkable;
+   - sliding-window mean/median/min/max over the previous/next w points,
+     mirroring preprocess.py:202-222's windowed statistics. Note the
+     reference fills *sequentially* (later fills see earlier fills); the
+     exact sequential semantics live in kernels.preprocess.impute_missing
+     and are exercised per-group through the Arrow bridge — this
+     DataFrame variant is the one-shot (non-recursive) fill, which equals
+     the reference whenever gaps are narrower than w.
+
+Scale: sequence/explode is per-conversation and never shuffles raw data
+more than once (the join key is the grid key the series is already
+partitioned by after rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
+    """Densify to a step_s-spaced grid per (conv_id, metric).
+
+    Output: conv_id, metric, ts_epoch (grid-aligned), value (NULL where
+    the bucket had no point). Input is first bucketed to the grid by
+    floor(ts/step): if several raw points share a bucket the mean is
+    taken (deterministic: integer sums).
+    """
+    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucketed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
+        .agg((F.sum("value") / F.count("value")).alias("value"))
+    )
+    spans = bucketed.groupBy("conv_id", "metric").agg(
+        F.min("ts_epoch").alias("t0"), F.max("ts_epoch").alias("t1")
+    )
+    grid = spans.select(
+        "conv_id",
+        "metric",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.lit(int(step_s)))
+        ).alias("ts_epoch"),
+    )
+    return grid.join(bucketed, ["conv_id", "metric", "ts_epoch"], "left")
+
+
+def fill_locf(grid: DataFrame, direction: str = "forward") -> DataFrame:
+    """Last/next-observation-carried-forward fill of NULL grid points."""
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    if direction == "forward":
+        filled = F.last("value", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        filled = F.first("value", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    return grid.select(
+        "conv_id",
+        "metric",
+        "ts_epoch",
+        F.coalesce(F.col("value"), filled).alias("value"),
+    )
+
+
+def fill_window_stat(
+    grid: DataFrame, window: int, method: str = "mean", direction: str = "forward"
+) -> DataFrame:
+    """One-shot sliding-window imputation (preprocess.py:202-222 semantics
+    for isolated gaps): fill each NULL with `method` over the previous
+    (forward) or next (backward) `window` non-null values.
+    """
+    w0 = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    frame = (
+        w0.rowsBetween(-window, -1)
+        if direction == "forward"
+        else w0.rowsBetween(1, window)
+    )
+    v = F.col("value")
+    if method == "mean":
+        stat = F.avg(v).over(frame)
+    elif method == "median":
+        # median is not frame-capable as a Spark window function; exact
+        # median via sorted collect_list over the frame instead
+        lst = F.array_sort(F.collect_list(v).over(frame))
+        n = F.size(lst)
+        lo = F.element_at(lst, ((n - 1) / 2 + 1).cast("int"))
+        hi = F.element_at(lst, (n / 2 + 1).cast("int"))
+        stat = F.when(n > 0, (lo + hi) / 2.0)
+    elif method == "min":
+        stat = F.min(v).over(frame)
+    elif method == "max":
+        stat = F.max(v).over(frame)
+    else:
+        raise ValueError(f"invalid impute method: {method}")
+    return grid.select(
+        "conv_id", "metric", "ts_epoch", F.coalesce(v, stat).alias("value")
+    )

@@ -1,0 +1,149 @@
+"""Continuous-aggregate rollup cascade raw→1m→1h→1d with retention.
+
+Generalizes the reference's `statistics` operator
+(/root/reference/matrixprofile/algorithms/statistics.py:15-90) into tiered,
+re-aggregable materialized rollups. Each tier row carries an **algebraic
+sketch** — cnt/sum/min/max/sum_sq/first/last — chosen so that:
+
+- every coarser tier is computed *exactly* from the finer tier (sum of
+  sums, min of mins, min_by(first, bucket), …), never from raw → the
+  cascade reads 60× / 24× less data per hop;
+- mean = sum/cnt and population std = sqrt(sum_sq/cnt - (sum/cnt)^2) are
+  recoverable at any tier without raw;
+- results are independent of partition count / aggregation order for
+  integer-valued metrics (exact float64 integer arithmetic), which is what
+  makes the `local[8]` vs `local[32]` runs bit-identical.
+
+Scale notes (100 TB): the groupBy key is (conv_id, metric, bucket) — high
+cardinality and naturally well-distributed; partial aggregation
+(map-side combine) means the shuffle carries one sketch row per
+(group, map partition), not raw points. Hot conversations do NOT skew this
+stage because the bucket component splits them across reducers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIERS_S = {"1m": 60, "1h": 3600, "1d": 86400}
+
+SKETCH_COLS = ("cnt", "vsum", "vmin", "vmax", "sum_sq", "vfirst", "vlast")
+
+
+def _bucket(col: str, tier_s: int):
+    return (F.floor(F.col(col) / tier_s) * tier_s).cast("bigint")
+
+
+def rollup_from_raw(series: DataFrame, tier_s: int) -> DataFrame:
+    """raw points → one sketch row per (conv_id, metric, bucket).
+
+    NULL values (e.g. latency of a conversation's first turn) are dropped
+    up front — a bucket with only NULLs contributes no sketch row, the
+    same semantics the DuckDB oracle applies.
+    """
+    v = F.col("value")
+    return (
+        series.where(v.isNotNull())
+        .groupBy(
+            "conv_id", "metric", _bucket("ts_epoch", tier_s).alias("bucket_epoch")
+        )
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("vsum"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+            F.sum(v * v).alias("sum_sq"),
+            F.min_by(v, F.col("ts_epoch")).alias("vfirst"),
+            F.max_by(v, F.col("ts_epoch")).alias("vlast"),
+        )
+    )
+
+
+def rollup_cascade(finer: DataFrame, tier_s: int) -> DataFrame:
+    """finer tier sketches → coarser tier sketches, exactly.
+
+    first/last re-aggregate via min_by/max_by on the finer bucket_epoch —
+    valid because buckets nest (tier_s is a multiple of the finer tier).
+    """
+    b = F.col("bucket_epoch")
+    return (
+        finer.groupBy(
+            "conv_id", "metric", _bucket("bucket_epoch", tier_s).alias("bucket_epoch")
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("sum_sq").alias("sum_sq"),
+            F.min_by(F.col("vfirst"), b).alias("vfirst"),
+            F.max_by(F.col("vlast"), b).alias("vlast"),
+        )
+    )
+
+
+def build_cascade(series: DataFrame) -> dict[str, DataFrame]:
+    """The full raw→1m→1h→1d chain. Each tier derives from the previous."""
+    r1m = rollup_from_raw(series, TIERS_S["1m"])
+    r1h = rollup_cascade(r1m, TIERS_S["1h"])
+    r1d = rollup_cascade(r1h, TIERS_S["1d"])
+    return {"1m": r1m, "1h": r1h, "1d": r1d}
+
+
+def with_derived_stats(rollup: DataFrame) -> DataFrame:
+    """mean/std recovered from the sketch (no raw re-scan).
+
+    std is population std, matching the reference's moving_avg_std
+    (/root/reference/matrixprofile/cycore.pyx:105-155 uses population
+    variance).
+    """
+    mean = F.col("vsum") / F.col("cnt")
+    var = F.col("sum_sq") / F.col("cnt") - mean * mean
+    return rollup.withColumn("mean", mean).withColumn(
+        "std", F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+
+
+def retention_union(
+    tiers: dict[str, DataFrame],
+    raw: DataFrame,
+    now_epoch: int,
+    keep_raw_s: int,
+    keep_1m_s: int,
+    keep_1h_s: int,
+) -> DataFrame:
+    """Retention policy as a unified read view.
+
+    raw points newer than now-keep_raw_s; 1m buckets for the older window
+    up to keep_1m_s; 1h beyond that; 1d forever. At scale this is a
+    partition-pruned union over the tier tables (each predicate lands on
+    the tables' bucket/day partition column); DELETEs happen in the
+    maintenance job (see streaming.incremental.apply_retention).
+    """
+    r1m, r1h, r1d = tiers["1m"], tiers["1h"], tiers["1d"]
+    c = F.col("bucket_epoch")
+    raw_part = (
+        raw.where(
+            (F.col("ts_epoch") >= now_epoch - keep_raw_s)
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "metric",
+            F.col("ts_epoch").alias("bucket_epoch"),
+            F.lit("raw").alias("tier"),
+            F.lit(1).cast("bigint").alias("cnt"),
+            F.col("value").alias("vsum"),
+        )
+    )
+    m_part = r1m.where(
+        (c < now_epoch - keep_raw_s) & (c >= now_epoch - keep_1m_s)
+    ).select("conv_id", "metric", "bucket_epoch", F.lit("1m").alias("tier"), "cnt", "vsum")
+    h_part = r1h.where(
+        (c < now_epoch - keep_1m_s) & (c >= now_epoch - keep_1h_s)
+    ).select("conv_id", "metric", "bucket_epoch", F.lit("1h").alias("tier"), "cnt", "vsum")
+    d_part = r1d.where(c < now_epoch - keep_1h_s).select(
+        "conv_id", "metric", "bucket_epoch", F.lit("1d").alias("tier"), "cnt", "vsum"
+    )
+    return raw_part.unionByName(m_part).unionByName(h_part).unionByName(d_part)

@@ -1,0 +1,83 @@
+"""Transcripts → long-format metric series projection.
+
+The reference's data model is a bare 1-D float64 array
+(/root/reference/matrixprofile/core.py:78-102). In this engine a "series"
+is a *derived, per-conversation, per-metric* group of rows of a long
+DataFrame::
+
+    series(conv_id string, metric string, idx bigint, ts_epoch bigint,
+           value double)
+
+Derived metrics (SURVEY.md §1.2):
+- latency      = ts - lag(ts) over (conv_id order by turn_idx), seconds
+- token_count  = length(text)
+- turn_rate    = count(*) per 1-minute bucket (a grid series)
+
+All pure DataFrame ops — window functions + projections, no UDFs — so
+Catalyst prunes columns to exactly what each metric needs and the lag
+window runs inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+METRICS = ("latency", "token_count")
+
+
+def latency_series(transcripts: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.select(
+        "conv_id",
+        F.lit("latency").alias("metric"),
+        F.col("turn_idx").cast("bigint").alias("idx"),
+        F.col("ts_epoch"),
+        (F.col("ts_epoch") - F.lag("ts_epoch").over(w)).cast("double").alias("value"),
+    )
+
+
+def token_count_series(transcripts: DataFrame) -> DataFrame:
+    return transcripts.select(
+        "conv_id",
+        F.lit("token_count").alias("metric"),
+        F.col("turn_idx").cast("bigint").alias("idx"),
+        F.col("ts_epoch"),
+        F.length("text").cast("double").alias("value"),
+    )
+
+
+def turn_rate_series(transcripts: DataFrame, bucket_s: int = 60) -> DataFrame:
+    """Turns per bucket. idx = bucket ordinal within the conversation."""
+    bucket = (F.floor(F.col("ts_epoch") / bucket_s) * bucket_s).cast("bigint")
+    g = transcripts.groupBy("conv_id", bucket.alias("ts_epoch")).agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts_epoch")
+    return g.select(
+        "conv_id",
+        F.lit("turn_rate").alias("metric"),
+        (F.row_number().over(w) - 1).cast("bigint").alias("idx"),
+        "ts_epoch",
+        "value",
+    )
+
+
+def project_series(transcripts: DataFrame, metrics=METRICS) -> DataFrame:
+    """Union of the requested metric series, in the long schema.
+
+    The union keeps each branch's scan independent; Catalyst prunes
+    `text` from the latency branch and `ts_epoch`-lag machinery from the
+    token_count branch.
+    """
+    parts = []
+    if "latency" in metrics:
+        parts.append(latency_series(transcripts))
+    if "token_count" in metrics:
+        parts.append(token_count_series(transcripts))
+    if "turn_rate" in metrics:
+        parts.append(turn_rate_series(transcripts))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

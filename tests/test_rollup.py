@@ -1,0 +1,150 @@
+"""Tier-2 rollup exactness (FIXTURES.md F4) and generator contract.
+
+Every rolled-up sketch field must equal an independent pandas groupby
+recomputation bit-for-bit, and the 1h tier computed from 1m sketches must
+equal 1h computed from raw. Mirrors the north_rule's "exact-match vs
+reference rollups at every retention tier".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrixprofile_spark.operators import gapfill, rollup
+from matrixprofile_spark.operators import series as S
+from matrixprofile_spark.sources.synth import synth_transcripts
+
+N_CONV = 12
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts(spark, N_CONV).cache()
+
+
+@pytest.fixture(scope="module")
+def series_pdf(transcripts):
+    # independent recomputation path: raw pandas from the transcript rows
+    t = transcripts.toPandas().sort_values(["conv_id", "turn_idx"])
+    lat = t.groupby("conv_id")["ts_epoch"].diff().astype(float)
+    a = pd.DataFrame(
+        {"conv_id": t.conv_id, "metric": "latency", "ts_epoch": t.ts_epoch, "value": lat}
+    )
+    b = pd.DataFrame(
+        {
+            "conv_id": t.conv_id,
+            "metric": "token_count",
+            "ts_epoch": t.ts_epoch,
+            "value": t.text.str.len().astype(float),
+        }
+    )
+    return pd.concat([a, b], ignore_index=True)
+
+
+def test_input_hint_schema(transcripts):
+    fields = dict(transcripts.dtypes)
+    assert fields["conv_id"] == "string"
+    assert fields["turn_idx"] == "int"
+    assert fields["role"] == "string"
+    assert fields["text"] == "string"
+    assert fields["tool"] == "string"
+    assert fields["ts"] == "timestamp"
+
+
+def test_generator_deterministic(spark, transcripts):
+    again = synth_transcripts(spark, N_CONV)
+    a = transcripts.orderBy("conv_id", "turn_idx").toPandas()
+    b = again.orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def _pandas_rollup(pdf: pd.DataFrame, tier_s: int) -> pd.DataFrame:
+    p = pdf[pdf.value.notna()].copy()
+    p["bucket_epoch"] = (p.ts_epoch // tier_s) * tier_s
+    p = p.sort_values(["conv_id", "metric", "ts_epoch"])
+    g = p.groupby(["conv_id", "metric", "bucket_epoch"])
+    out = g.agg(
+        cnt=("value", "size"),
+        vsum=("value", "sum"),
+        vmin=("value", "min"),
+        vmax=("value", "max"),
+        vfirst=("value", "first"),
+        vlast=("value", "last"),
+    )
+    out["sum_sq"] = g.apply(lambda x: float(np.sum(x.value.values**2)))
+    return out.reset_index()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_rollup_exact_vs_pandas(transcripts, series_pdf, tier):
+    ser = S.project_series(transcripts)
+    got = (
+        rollup.build_cascade(ser)[tier]
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_epoch"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _pandas_rollup(series_pdf, rollup.TIERS_S[tier])
+        .sort_values(["conv_id", "metric", "bucket_epoch"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["cnt", "vsum", "vmin", "vmax", "sum_sq", "vfirst", "vlast"]:
+        np.testing.assert_array_equal(
+            got[c].to_numpy().astype(float), want[c].to_numpy().astype(float), err_msg=c
+        )
+
+
+def test_cascade_equals_from_raw(transcripts):
+    ser = S.project_series(transcripts)
+    r1m = rollup.rollup_from_raw(ser, 60)
+    from_1m = (
+        rollup.rollup_cascade(r1m, 3600)
+        .orderBy("conv_id", "metric", "bucket_epoch")
+        .toPandas()
+    )
+    from_raw = (
+        rollup.rollup_from_raw(ser, 3600)
+        .orderBy("conv_id", "metric", "bucket_epoch")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(from_1m, from_raw)
+
+
+def test_retention_cover_is_disjoint_and_total(transcripts):
+    ser = S.project_series(transcripts)
+    now = ser.agg({"ts_epoch": "max"}).collect()[0][0]
+    tiers = rollup.build_cascade(ser)
+    view = rollup.retention_union(tiers, ser, now, 86400, 3 * 86400, 6 * 86400)
+    pdf = view.toPandas()
+    # total count across the view == number of non-null raw points
+    n_raw = ser.where("value is not null").count()
+    assert int(pdf.cnt.sum()) == n_raw
+    # sum preserved exactly (integer-valued metrics → exact float64)
+    raw_sum = ser.where("value is not null").agg({"value": "sum"}).collect()[0][0]
+    assert float(pdf.vsum.sum()) == float(raw_sum)
+
+
+def test_gapfill_locf_fills_everything(transcripts):
+    tok = S.token_count_series(transcripts)
+    grid = gapfill.to_grid(tok, 60)
+    filled = gapfill.fill_locf(grid, "forward")
+    assert filled.where("value is null").count() == 0
+    # idempotence
+    refilled = gapfill.fill_locf(filled, "forward")
+    a = filled.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    b = refilled.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_gapfill_window_stat_methods(transcripts):
+    tok = S.token_count_series(transcripts)
+    grid = gapfill.to_grid(tok, 60)
+    for method in ("mean", "median", "min", "max"):
+        out = gapfill.fill_window_stat(grid, window=5, method=method)
+        assert out.columns == ["conv_id", "metric", "ts_epoch", "value"]
+    with pytest.raises(ValueError):
+        gapfill.fill_window_stat(grid, 5, method="bogus").collect()
