@@ -1,0 +1,260 @@
+"""MPX matrix profile kernel (pure NumPy, diagonal-blocked).
+
+Re-derivation of the reference's Cython MPX
+(/root/reference/matrixprofile/algorithms/cympx.pyx:30-119 self-join,
+125-284 AB-join). The reference walks each diagonal with a scalar
+streaming-covariance recurrence; the recurrence is prefix-summable, so
+here each diagonal's covariances come from one np.cumsum, and diagonals
+are processed in blocks of B as 2-D arrays to amortize NumPy dispatch —
+same O(n²) flops, vectorized.
+
+Numeric contract (golden-tested vs the reference's MATLAB files):
+- minlag = ceil(w/4); self-join diagonals start at minlag+1 (cympx.pyx:82)
+- df/dg difference equations exactly as cympx.pyx:76-80
+- update rule "strictly greater than current best" with diagonal-ascending
+  scan order (ties → smaller diagonal), col-row store clamped at 1.0
+  (cympx.pyx:94-102); final merge clamps everything at 1.0
+- Euclidean conversion sqrt(2w(1−ρ)); unmatched AB rows (ρ = −1
+  sentinel) → +inf (cympx.pyx:260-274)
+
+The `diag_range` arguments expose the diagonal-band decomposition used by
+operators/salted.py to split one huge series across Spark tasks; partial
+(mp, mpi) results merge associatively via max-by-correlation, mirroring
+the per-thread merge at cympx.pyx:104-112.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from numpy.lib.stride_tricks import as_strided
+
+from matrixprofile_spark.kernels.moving import muinvn
+
+_BLOCK = 128
+
+
+def _diffs(ts: np.ndarray, mu: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    n = len(ts)
+    pl = n - w + 1
+    df = np.zeros(pl)
+    dg = np.zeros(pl)
+    df[1:] = 0.5 * (ts[w:] - ts[: n - w])
+    dg[1:] = (ts[w:] - mu[1:]) + (ts[: n - w] - mu[:-1])
+    return df, dg
+
+
+def _shifted_view(a: np.ndarray, d0: int, rows: int, width: int) -> np.ndarray:
+    """rows×width view where row r = a[d0+r : d0+r+width] (a must be padded)."""
+    return as_strided(
+        a[d0:], shape=(rows, width), strides=(a.strides[0], a.strides[0])
+    )
+
+
+def mpx_self_join(
+    ts: np.ndarray,
+    w: int,
+    cross_correlation: bool = False,
+    diag_range: tuple[int, int] | None = None,
+    block: int = _BLOCK,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact matrix profile of ts against itself.
+
+    diag_range=(lo, hi) restricts to diagonals lo..hi-1 (both already
+    offset past minlag) and returns a PARTIAL profile in correlation
+    space for later merging; None → full profile in the requested metric.
+    """
+    ts = np.ascontiguousarray(ts, dtype=np.float64)
+    n = len(ts)
+    pl = n - w + 1
+    minlag = int(math.ceil(w / 4.0))
+    mu, sig = muinvn(ts, w)
+    df, dg = _diffs(ts, mu, w)
+
+    mp = np.full(pl, -1.0)
+    mpi = np.full(pl, -1, dtype=np.int64)
+
+    lo, hi = (minlag + 1, pl) if diag_range is None else diag_range
+    lo = max(lo, minlag + 1)
+    hi = min(hi, pl)
+
+    # padded copies so the strided row views never run off the end
+    dfp = np.concatenate((df, np.zeros(block)))
+    dgp = np.concatenate((dg, np.zeros(block)))
+    sigp = np.concatenate((sig, np.zeros(block)))
+    q0 = ts[:w] - mu[0]
+
+    for d0 in range(lo, hi, block):
+        b = min(block, hi - d0)
+        m0 = pl - d0  # widest diagonal in this block
+        # seed covariances: c0[r] = (ts[d:d+w]-mu[d])·(ts[:w]-mu[0])
+        idx = np.arange(w)[None, :] + np.arange(d0, d0 + b)[:, None]
+        c0 = (ts[idx] - mu[d0 : d0 + b, None]) @ q0
+        # per-diagonal prefix-sum of the difference-equation terms
+        DG = _shifted_view(dgp, d0, b, m0)
+        DF = _shifted_view(dfp, d0, b, m0)
+        terms = df[None, :m0] * DG + DF * dg[None, :m0]
+        cov = np.cumsum(terms, axis=1)
+        cov += c0[:, None]
+        corr = cov * sig[None, :m0] * _shifted_view(sigp, d0, b, m0)
+        # mask past each diagonal's end: valid while offset < pl - (d0+r)
+        r = np.arange(b)[:, None]
+        o = np.arange(m0)[None, :]
+        corr[o + r >= m0] = -np.inf
+
+        # reduce over the block's diagonals (argmax tie → smallest diag,
+        # matching the reference's ascending-diagonal strict-> updates)
+        best_r = np.argmax(corr, axis=0)
+        best = corr[best_r, np.arange(m0)]
+        # col-row candidates: row j receives corr[r, j-d0-r]
+        anti = np.full((b, m0 + b), -np.inf)
+        anti[r, o + r] = np.where(np.isneginf(corr), -np.inf, np.minimum(corr, 1.0))
+        anti_src = np.full((b, m0 + b), -np.inf)
+        anti_src[r, o + r] = corr
+        cb_r = np.argmax(anti_src, axis=0)
+        cols = np.arange(m0 + b)
+        cb = anti_src[cb_r, cols]
+        cb_store = anti[cb_r, cols]
+
+        # col updates first (they read the pre-block state in the
+        # reference's scan order), then offset updates
+        valid = cb > -np.inf
+        j = cols[valid] + d0
+        upd = cb[valid] > mp[j]
+        jj = j[upd]
+        mp[jj] = cb_store[valid][upd]
+        mpi[jj] = cols[valid][upd] - cb_r[valid][upd]
+        upd2 = best > mp[:m0]
+        mp[:m0][upd2] = best[upd2]
+        mpi[:m0][upd2] = np.nonzero(upd2)[0] + d0 + best_r[upd2]
+
+    if diag_range is not None:
+        return mp, mpi  # partial, correlation space
+
+    return finalize_self_join(mp, mpi, w, cross_correlation)
+
+
+def finalize_self_join(
+    mp: np.ndarray, mpi: np.ndarray, w: int, cross_correlation: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """Clamp + metric conversion (cympx.pyx:104-119)."""
+    mp = np.minimum(mp, 1.0)
+    if not cross_correlation:
+        mp = np.sqrt(2.0 * w * (1.0 - mp))
+    return mp, mpi
+
+
+def merge_partials(
+    parts: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Associative max-by-correlation merge of diagonal-band partials.
+
+    Mirror of the per-thread merge at cympx.pyx:104-112; ties keep the
+    earlier partial (bands are fed in ascending-diagonal order).
+    """
+    mp, mpi = parts[0][0].copy(), parts[0][1].copy()
+    for p, pi in parts[1:]:
+        upd = p > mp
+        mp[upd] = p[upd]
+        mpi[upd] = pi[upd]
+    return mp, mpi
+
+
+def mpx_ab_join(
+    ts: np.ndarray,
+    query: np.ndarray,
+    w: int,
+    cross_correlation: bool = False,
+    block: int = _BLOCK,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact AB similarity join: profile of ts vs query and query vs ts.
+
+    Asymmetric theta-join on z-normalized distance — cympx.pyx:125-284.
+    Returns (mp, mpi, mpb, mpib).
+    """
+    ts = np.ascontiguousarray(ts, dtype=np.float64)
+    query = np.ascontiguousarray(query, dtype=np.float64)
+    mp, mpi, mpb, mpib = _ab_one_side(ts, query, w, block)
+    # BA pass: swap roles, accumulate into the same logical profiles
+    mp2b, mpi2b, mp2, mpi2 = _ab_one_side(query, ts, w, block)
+    upd = mp2 > mp
+    mp[upd] = mp2[upd]
+    mpi[upd] = mpi2[upd]
+    updb = mp2b > mpb
+    mpb[updb] = mp2b[updb]
+    mpib[updb] = mpi2b[updb]
+
+    mp = np.minimum(mp, 1.0)
+    mpb = np.minimum(mpb, 1.0)
+    if not cross_correlation:
+        unmatched = mp == -1.0
+        mp = np.sqrt(2.0 * w * (1.0 - mp))
+        mp[unmatched] = np.inf
+        unmatchedb = mpb == -1.0
+        mpb = np.sqrt(2.0 * w * (1.0 - mpb))
+        mpb[unmatchedb] = np.inf
+    return mp, mpi, mpb, mpib
+
+
+def _ab_one_side(
+    a: np.ndarray, bq: np.ndarray, w: int, block: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Diagonals starting at every offset of `a` vs `bq` (AB block of
+    cympx.pyx:194-214). Returns partials in correlation space:
+    (profile over a, its indices into bq, profile over bq, indices into a).
+    """
+    pla = len(a) - w + 1
+    plb = len(bq) - w + 1
+    mua, siga = muinvn(a, w)
+    mub, sigb = muinvn(bq, w)
+    dfa, dga = _diffs(a, mua, w)
+    dfb, dgb = _diffs(bq, mub, w)
+
+    mpa = np.full(pla, -1.0)
+    mpia = np.full(pla, -1, dtype=np.int64)
+    mpb = np.full(plb, -1.0)
+    mpib = np.full(plb, -1, dtype=np.int64)
+
+    dfap = np.concatenate((dfa, np.zeros(block)))
+    dgap = np.concatenate((dga, np.zeros(block)))
+    sigap = np.concatenate((siga, np.zeros(block)))
+    q0 = bq[:w] - mub[0]
+
+    for d0 in range(0, pla, block):
+        b = min(block, pla - d0)
+        m0 = min(plb, pla - d0)
+        if m0 <= 0:
+            break
+        idx = np.arange(w)[None, :] + np.arange(d0, d0 + b)[:, None]
+        c0 = (a[idx] - mua[d0 : d0 + b, None]) @ q0
+        DGA = _shifted_view(dgap, d0, b, m0)
+        DFA = _shifted_view(dfap, d0, b, m0)
+        terms = DFA * dgb[None, :m0] + DGA * dfb[None, :m0]
+        cov = np.cumsum(terms, axis=1)
+        cov += c0[:, None]
+        corr = cov * sigb[None, :m0] * _shifted_view(sigap, d0, b, m0)
+        r = np.arange(b)[:, None]
+        o = np.arange(m0)[None, :]
+        # diagonal r is valid while offset j < min(plb, pla-(d0+r))
+        corr[o + r + d0 >= pla] = -np.inf
+
+        # b-side rows (offset j of bq): argmax over block diagonals
+        best_r = np.argmax(corr, axis=0)
+        best = corr[best_r, np.arange(m0)]
+        updb = best > mpb[:m0]
+        mpb[:m0][updb] = best[updb]
+        mpib[:m0][updb] = np.nonzero(updb)[0] + d0 + best_r[updb]
+        # a-side rows k = j + d0 + r: anti-diagonal gather
+        anti = np.full((b, m0 + b), -np.inf)
+        anti[r, o + r] = corr
+        cb_r = np.argmax(anti, axis=0)
+        cols = np.arange(m0 + b)
+        cb = anti[cb_r, cols]
+        valid = cb > -np.inf
+        k = cols[valid] + d0
+        upd = cb[valid] > mpa[k]
+        kk = k[upd]
+        mpa[kk] = cb[valid][upd]
+        mpia[kk] = cols[valid][upd] - cb_r[valid][upd]
+    return mpa, mpia, mpb, mpib
