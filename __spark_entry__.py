@@ -29,6 +29,8 @@ from matrixprofile_spark.sources.synth import (  # noqa: E402
     transcripts_sql,
 )
 from matrixprofile_spark.operators import gapfill, rollup, series as S  # noqa: E402
+from matrixprofile_spark.operators import profile as P  # noqa: E402
+from matrixprofile_spark.operators.salted import salted_mpx_profiles  # noqa: E402
 
 # The driver compares at sf=0.01 → 500 conversations in the oracle text.
 _N_ORACLE = 500
@@ -131,8 +133,149 @@ def _q_retention_view(spark, sf_dir):
     return rollup.retention_union(tiers, ser, now, _KEEP_RAW, _KEEP_1M, _KEEP_1H)
 
 
+# -------- matrix-profile queries (Arrow-bridged kernels per series) ------
+
+_MPX_W = 16  # window for the oracle-checked MPX query
+_MPX_MINLAG = 4  # ceil(w/4), diagonals start at minlag+1 (cympx.pyx:58,82)
+
+
+def _chosen_token_series(spark, sf_dir):
+    """token_count series of the 5 smallest-conv_id conversations with
+    64..400 turns — small, deterministic kernel-query fixture."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    packed = P.pack_series(tok)
+    chosen = (
+        packed.where((F.col("n") >= 64) & (F.col("n") <= 400))
+        .orderBy("conv_id")
+        .limit(5)
+    )
+    return chosen
+
+
+def _q_mpx_w16(spark, sf_dir):
+    """MPX profile, oracle-checked against a DuckDB brute-force
+    z-normalized-distance self-join, rounded to 2 decimals."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    exploded = prof.select(
+        "conv_id", F.posexplode("mp").alias("idx", "dist")
+    )
+    return exploded.select(
+        "conv_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.round("dist", 2).alias("dist_r2"),
+    )
+
+
+def _q_mass2_w16(spark, sf_dir):
+    """MASS2 distance profile of each chosen conversation's first 16
+    values against its own series; oracle = brute-force SQL."""
+    import numpy as np
+    import pandas as pd
+    from matrixprofile_spark.kernels.mass import mass2
+
+    chosen = _chosen_token_series(spark, sf_dir)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        dp = np.real(mass2(values, values[:_MPX_W]))
+        return pd.DataFrame({
+            "conv_id": key[0],
+            "idx": np.arange(len(dp), dtype="int64"),
+            "dist_r2": np.round(np.maximum(dp, 0.0), 2),
+        })
+
+    return chosen.groupBy("conv_id", "metric").applyInPandas(
+        fn, "conv_id string, idx bigint, dist_r2 double"
+    )
+
+
+def _q_discords(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    disc = P.with_discoveries(prof, chosen, packed=True)
+    return disc.select(
+        "conv_id", "metric",
+        F.posexplode("discords").alias("rank", "idx"),
+    ).select("conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+             F.col("idx").cast("bigint").alias("idx"))
+
+
+def _q_motifs(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    disc = P.with_discoveries(prof, chosen, packed=True)
+    return disc.select(
+        "conv_id", "metric",
+        F.posexplode("motif_pairs").alias("rank", "pair"),
+    ).select(
+        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+        F.element_at("pair", 1).alias("first_idx"),
+        F.element_at("pair", 2).alias("second_idx"),
+    )
+
+
+def _q_regimes(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    disc = P.with_discoveries(prof, chosen, packed=True)
+    return disc.select(
+        "conv_id", "metric", F.posexplode("regimes").alias("rank", "idx")
+    ).select("conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+             F.col("idx").cast("bigint").alias("idx"))
+
+
+def _q_snippets(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    return P.snippet_profiles(chosen, 32, window_size=16, packed=True).select(
+        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+        "index", F.round("fraction", 6).alias("fraction_r6"),
+        "neighbor_count",
+    )
+
+
+def _q_skimp_pmp(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
+    return prof.select(
+        "conv_id", "metric", "w",
+        F.posexplode("mp").alias("idx", "dist"),
+    ).select("conv_id", "metric", "w",
+             F.col("idx").cast("bigint").alias("idx"),
+             F.round("dist", 2).alias("dist_r2"))
+
+
+def _q_pairwise_mpdist(spark, sf_dir):
+    chosen = _chosen_token_series(spark, sf_dir)
+    return P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True) \
+        .select("conv_id_a", "conv_id_b", "w",
+                F.round("mpdist", 4).alias("mpdist_r4"))
+
+
+def _q_salted_mpx(spark, sf_dir):
+    """Salted (diagonal-band) MPX over the hot conversations — must be
+    bit-identical to the plain kernel; output rounded for the driver."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    packed = P.pack_series(tok).where(F.col("n") >= 1024)
+    prof = salted_mpx_profiles(packed, 32, hot_threshold=1024, bands=8,
+                               packed=True)
+    return prof.select(
+        "conv_id", F.posexplode("mp").alias("idx", "dist")
+    ).select("conv_id", F.col("idx").cast("bigint").alias("idx"),
+             F.round("dist", 2).alias("dist_r2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "mpx_w16": _q_mpx_w16,
+        "mass2_w16": _q_mass2_w16,
+        "discords_top3": _q_discords,
+        "motifs_top3": _q_motifs,
+        "regimes": _q_regimes,
+        "snippets": _q_snippets,
+        "skimp_pmp": _q_skimp_pmp,
+        "pairwise_mpdist": _q_pairwise_mpdist,
+        "salted_mpx_hot": _q_salted_mpx,
         "transcripts": _q_transcripts,
         "series_latency": _q_series_latency,
         "series_token_count": _q_series_token_count,
@@ -178,8 +321,94 @@ GROUP BY 1, 2, 3
 """.strip()
 
 
+_CHOSEN_CTE = f"""
+transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+r AS (
+  SELECT t.conv_id,
+         CAST(row_number() OVER (PARTITION BY t.conv_id ORDER BY idx) - 1
+              AS BIGINT) AS i,
+         value
+  FROM tok t JOIN chosen USING (conv_id)
+),
+st AS (
+  SELECT conv_id, i,
+         avg(value) OVER w AS mu,
+         stddev_pop(value) OVER w AS sig,
+         count(*) OVER w AS cnt
+  FROM r
+  WINDOW w AS (PARTITION BY conv_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {_MPX_W - 1} FOLLOWING)
+),
+sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "mpx_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+corr AS (
+  SELECT d.conv_id, d.i,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+best AS (SELECT conv_id, i AS idx, max(c) AS cmax FROM corr GROUP BY 1, 2)
+SELECT conv_id, idx,
+       round(sqrt(2 * {_MPX_W} * (1 - least(cmax, 1.0))), 2) AS dist_r2
+FROM best
+""".strip(),
+        "mass2_w16": f"""
+WITH {_CHOSEN_CTE},
+q AS (
+  SELECT conv_id,
+         avg(value) AS muq,
+         stddev_pop(value) AS sigq,
+         count(*) AS nq
+  FROM r WHERE i < {_MPX_W} GROUP BY 1
+),
+dots AS (
+  SELECT a.conv_id, a.i AS i, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = x.i - a.i
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT d.conv_id, d.i AS idx,
+    CASE
+      WHEN sa.sig < 1e-10 AND q.sigq < 1e-10 THEN 0.0
+      WHEN sa.sig < 1e-10 THEN CAST({_MPX_W} AS DOUBLE)
+      ELSE 2 * ({_MPX_W} - (d.qt - {_MPX_W} * sa.mu * q.muq)
+                / (CASE WHEN sa.sig * q.sigq = 0 THEN 1e-12
+                        ELSE sa.sig * q.sigq END)) END AS dsq
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN q ON q.conv_id = d.conv_id
+)
+SELECT conv_id, idx, round(sqrt(greatest(dsq, 0.0)), 2) AS dist_r2
+FROM dist
+""".strip(),
         "transcripts": f"WITH transcripts AS ({_T}) SELECT * FROM transcripts",
         "series_latency": f"""
 WITH transcripts AS ({_T})

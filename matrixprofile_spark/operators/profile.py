@@ -1,0 +1,356 @@
+"""Arrow bridge: matrix-profile kernels as grouped pandas UDFs.
+
+Every numeric kernel from matrixprofile_spark.kernels runs here per
+(conv_id, metric[, w]) group through applyInPandas — Arrow-batched,
+zero per-row Python (BASELINE.json input_hint requirement). Parallelism
+comes from Spark partitioning across groups, the analog of the
+reference's OpenMP prange over diagonals (cympx.pyx:78) and its
+multiprocessing pool over row batches (stomp.py:311-328).
+
+Layout strategy (100 TB scale):
+- `pack_series` first collapses each series to ONE row holding a sorted
+  value array (shuffle on (conv_id, metric) — the only raw-data shuffle
+  in the profile path). All kernel stages then move these packed rows,
+  never raw points.
+- window sweeps (SKIMP) parallelize by crossing packed rows with a tiny
+  broadcast windows DataFrame — each (series, w) pair is an independent
+  task, so a 200-window sweep over 10k conversations = 2M balanced tasks.
+- single huge series don't fit one task → operators/salted.py splits
+  the diagonal space into bands and merges partials with the
+  associative max-by-correlation merge (cympx.pyx:104-112 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matrixprofile_spark.kernels import discover as D
+from matrixprofile_spark.kernels import workflows as W
+from matrixprofile_spark.kernels.mpdist import mpdist
+from matrixprofile_spark.kernels.scrimp import scrimp_plus_plus
+from matrixprofile_spark.kernels.skimp import skimp
+from matrixprofile_spark.kernels.snippets import snippets as snippets_kernel
+from matrixprofile_spark.kernels.stomp import stomp
+
+PACKED_SCHEMA = "conv_id string, metric string, n long, values array<double>"
+
+PROFILE_SCHEMA = (
+    "conv_id string, metric string, w int, mp array<double>, pi array<long>, "
+    "lmp array<double>, lpi array<long>, rmp array<double>, rpi array<long>, "
+    "ez int, join boolean, sample_pct double, algorithm string"
+)
+
+DISCOVERY_SCHEMA = (
+    "conv_id string, metric string, w int, "
+    "discords array<long>, motif_pairs array<array<long>>, "
+    "motif_neighbors array<array<long>>, regimes array<long>"
+)
+
+SNIPPET_SCHEMA = (
+    "conv_id string, metric string, snippet_size int, rank int, "
+    "index long, fraction double, neighbor_count long"
+)
+
+MPDIST_SCHEMA = (
+    "conv_id_a string, conv_id_b string, metric string, w int, mpdist double"
+)
+
+
+def pack_series(series: DataFrame) -> DataFrame:
+    """Collapse each (conv_id, metric) series into one row with the
+    value array in idx order. NULL values become NaN (the reference's
+    missing marker, core.py:141-192 semantics downstream)."""
+    return (
+        series.groupBy("conv_id", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(idx, value))),"
+                " x -> coalesce(x.value, double('nan')))"
+            ).alias("values"),
+        )
+    )
+
+
+def _profile_row(key, prof: dict) -> pd.DataFrame:
+    def arr(x, dtype):
+        return None if x is None else np.asarray(x, dtype=dtype)
+
+    return pd.DataFrame(
+        [
+            {
+                "conv_id": key[0],
+                "metric": key[1],
+                "w": int(prof["w"]),
+                "mp": arr(prof["mp"], "d"),
+                "pi": arr(prof["pi"], "int64"),
+                "lmp": arr(prof.get("lmp"), "d"),
+                "lpi": arr(prof.get("lpi"), "int64"),
+                "rmp": arr(prof.get("rmp"), "d"),
+                "rpi": arr(prof.get("rpi"), "int64"),
+                "ez": int(prof["ez"]),
+                "join": bool(prof["join"]),
+                "sample_pct": float(prof["sample_pct"]),
+                "algorithm": prof["algorithm"],
+            }
+        ]
+    )
+
+
+def _too_short(values: np.ndarray, w: int) -> bool:
+    return len(values) < 2 * w
+
+
+def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
+    """Exact MPX matrix profile per series (mpx.py:20-100 per group).
+
+    Series shorter than 2w are dropped (the reference raises there;
+    in a table of thousands of conversations we skip instead and the
+    caller can anti-join to find skipped keys)."""
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        if _too_short(values, w):
+            return _profile_row(key, W.mpx_profile(values, w)).iloc[0:0]
+        return _profile_row(key, W.mpx_profile(values, w))
+
+    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+
+
+def stomp_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
+    """STOMP with left/right profiles per series (stomp.py:196-377)."""
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        if _too_short(values, w):
+            return _profile_row(key, {"mp": [], "pi": [], "w": w, "ez": 0,
+                                      "join": False, "sample_pct": 1,
+                                      "algorithm": "stomp"}).iloc[0:0]
+        return _profile_row(key, stomp(values, w))
+
+    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+
+
+def scrimp_profiles(
+    series: DataFrame, w: int, sample_pct: float = 0.1, seed: int = 0,
+    packed: bool = False,
+) -> DataFrame:
+    """SCRIMP++ approximate profile per series; the per-group seed is
+    derived from the group key so results are reproducible across
+    partitionings (engine requirement; reference is unseeded)."""
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        if _too_short(values, w):
+            return _profile_row(key, {"mp": [], "pi": [], "w": w, "ez": 0,
+                                      "join": False, "sample_pct": sample_pct,
+                                      "algorithm": "scrimp++"}).iloc[0:0]
+        # zlib.crc32 — stable across processes (Python's hash() is salted)
+        import zlib
+
+        gseed = (zlib.crc32(f"{key[0]}|{key[1]}".encode()) ^ seed) & 0x7FFFFFFF
+        prof = scrimp_plus_plus(values, w, sample_pct=float(sample_pct),
+                                random_state=gseed)
+        return _profile_row(key, prof)
+
+    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+
+
+def skimp_profiles(
+    series: DataFrame,
+    windows=None,
+    threshold: float = 0.98,
+    sample_pct: float = 1.0,
+    seed: int = 0,
+    packed: bool = False,
+) -> DataFrame:
+    """Pan-matrix-profile: one profile row per (series, w).
+
+    With an explicit window list the sweep parallelizes as a broadcast
+    join of packed series × windows — each pair is its own Spark task
+    (skimp.py:97-243 re-expressed as rows instead of a 2-D matrix).
+    With windows=None, the per-series doubling search
+    (maximum_subsequence, skimp.py:246-384) runs in-kernel and emits
+    rows for range(8, upper+1) like compute.py:116-126."""
+    src = series if packed else pack_series(series)
+
+    if windows is not None:
+        spark = src.sparkSession
+        wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
+        crossed = src.join(F.broadcast(wdf))
+
+        def fn_one(key, pdf):
+            values = np.asarray(pdf["values"].iloc[0], dtype="d")
+            w = int(key[2])
+            if _too_short(values, w):
+                return _profile_row((key[0], key[1]), W.mpx_profile(values, 4)).iloc[0:0]
+            out = _profile_row((key[0], key[1]), W.mpx_profile(values, w))
+            out["algorithm"] = "skimp"
+            return out
+
+        return crossed.groupBy("conv_id", "metric", "w").applyInPandas(
+            fn_one, PROFILE_SCHEMA
+        )
+
+    def fn_sweep(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        if len(values) < 16:
+            return pd.DataFrame(
+                columns=["conv_id", "metric", "w", "mp", "pi", "lmp", "lpi",
+                         "rmp", "rpi", "ez", "join", "sample_pct", "algorithm"]
+            ).iloc[0:0]
+        prof = W.compute(values, windows=None, threshold=threshold,
+                         sample_pct=sample_pct, seed=seed)
+        rows = []
+        for i, w in enumerate(prof["windows"]):
+            mp = prof["pmp"][i]
+            pl = len(values) - int(w) + 1
+            rows.append({
+                "conv_id": key[0], "metric": key[1], "w": int(w),
+                "mp": mp[:pl], "pi": prof["pmpi"][i][:pl].astype("int64"),
+                "lmp": None, "lpi": None, "rmp": None, "rpi": None,
+                "ez": int(np.floor(int(w) / 4)), "join": False,
+                "sample_pct": float(sample_pct), "algorithm": "skimp",
+            })
+        return pd.DataFrame(rows)
+
+    return src.groupBy("conv_id", "metric").applyInPandas(fn_sweep, PROFILE_SCHEMA)
+
+
+def with_discoveries(
+    profiles: DataFrame,
+    series: DataFrame,
+    k_motifs: int = 3,
+    k_discords: int = 3,
+    max_neighbors: int = 10,
+    radius: float = 3,
+    ez_override: int | None = None,
+    packed: bool = False,
+) -> DataFrame:
+    """Append motifs/discords/regimes per profile row.
+
+    Joins profiles back to the packed series (motifs re-query the raw
+    values via MASS, top_k_motifs.py:251) — a broadcast-friendly equi
+    join on the series key, then one grouped kernel per (series, w).
+    Engine default ez = ceil(w/4): the reference's own dict reports
+    ez=0 for MPX self-joins (mpx.py:91 quirk) which degenerates its
+    motif search; pass ez_override=0 for strict parity."""
+    src = series if packed else pack_series(series)
+    joined = profiles.join(src, ["conv_id", "metric"])
+
+    def fn(key, pdf):
+        row = pdf.iloc[0]
+        values = np.asarray(row["values"], dtype="d")
+        mp = np.asarray(row["mp"], dtype="d")
+        pi = np.asarray(row["pi"], dtype="int64")
+        w = int(row["w"])
+        ez = ez_override if ez_override is not None else int(np.ceil(w / 4.0))
+        disc = D.top_k_discords(mp, w, ez=ez, k=k_discords)
+        mot = D.top_k_motifs(values, mp, pi, w, ez=ez, k=k_motifs,
+                             max_neighbors=max_neighbors, radius=radius)
+        cac = D.fluss(pi, w)
+        reg = D.extract_regimes(cac, w) if len(cac) > 10 * w else np.array([], dtype="int64")
+        return pd.DataFrame([{
+            "conv_id": key[0], "metric": key[1], "w": w,
+            "discords": disc,
+            "motif_pairs": [np.asarray(m["motifs"], dtype="int64") for m in mot],
+            "motif_neighbors": [np.asarray(m["neighbors"], dtype="int64") for m in mot],
+            "regimes": reg,
+        }])
+
+    return joined.groupBy("conv_id", "metric", "w").applyInPandas(
+        fn, DISCOVERY_SCHEMA
+    )
+
+
+def snippet_profiles(
+    series: DataFrame, snippet_size: int, num_snippets: int = 2,
+    window_size: int | None = None, packed: bool = False,
+) -> DataFrame:
+    """Representative snippets per series (snippets.py:17-126)."""
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        if len(values) < 2 * snippet_size:
+            return pd.DataFrame(columns=[
+                "conv_id", "metric", "snippet_size", "rank", "index",
+                "fraction", "neighbor_count"]).iloc[0:0]
+        out = snippets_kernel(values, snippet_size, num_snippets=num_snippets,
+                              window_size=window_size)
+        return pd.DataFrame([
+            {"conv_id": key[0], "metric": key[1],
+             "snippet_size": snippet_size, "rank": i,
+             "index": int(s["index"]), "fraction": float(s["fraction"]),
+             "neighbor_count": len(s["neighbors"])}
+            for i, s in enumerate(out)
+        ])
+
+    return src.groupBy("conv_id", "metric").applyInPandas(fn, SNIPPET_SCHEMA)
+
+
+def pairwise_mpdist(
+    series: DataFrame, w: int, threshold: float = 0.05,
+    metric: str = "token_count", packed: bool = False,
+) -> DataFrame:
+    """All-pairs MPDist across conversations: the engine's genuine
+    theta self-join (pairwise_dist.py:36-101 distributed). Packed rows
+    join on conv_id_a < conv_id_b; each pair is one Arrow task."""
+    src = (series if packed else pack_series(series)).where(
+        F.col("metric") == metric
+    )
+    a = src.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("metric").alias("metric"),
+        F.col("values").alias("values_a"),
+    )
+    b = src.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("metric").alias("metric_b"),
+        F.col("values").alias("values_b"),
+    )
+    pairs = a.join(b, (F.col("conv_id_a") < F.col("conv_id_b"))
+                   & (F.col("metric") == F.col("metric_b")))
+
+    def fn(pdf):
+        rows = []
+        for _, r in pdf.iterrows():
+            va = np.asarray(r["values_a"], dtype="d")
+            vb = np.asarray(r["values_b"], dtype="d")
+            if len(va) < 2 * w or len(vb) < 2 * w:
+                continue
+            d = mpdist(va, vb, w, threshold=threshold) if len(va) >= len(vb) \
+                else mpdist(vb, va, w, threshold=threshold)
+            rows.append({
+                "conv_id_a": r["conv_id_a"], "conv_id_b": r["conv_id_b"],
+                "metric": r["metric"], "w": w, "mpdist": float(d),
+            })
+        return pd.DataFrame(rows, columns=[
+            "conv_id_a", "conv_id_b", "metric", "w", "mpdist"])
+
+    return pairs.mapInPandas(lambda it: (fn(pdf) for pdf in it), MPDIST_SCHEMA)
+
+
+def global_top_discords(discoveries: DataFrame, profiles: DataFrame, k: int = 10) -> DataFrame:
+    """Cross-conversation top-k discords: explode per-series discords,
+    look up their distances, TakeOrderedAndProject over the whole table
+    (SURVEY.md §2.6 'global top-k' mapping)."""
+    exploded = discoveries.select(
+        "conv_id", "metric", "w", F.explode("discords").alias("idx")
+    )
+    with_dist = exploded.join(profiles.select("conv_id", "metric", "w", "mp"),
+                              ["conv_id", "metric", "w"])
+    return (
+        with_dist.select(
+            "conv_id", "metric", "w", "idx",
+            F.element_at(F.col("mp"), F.col("idx").cast("int") + 1).alias("distance"),
+        )
+        .orderBy(F.desc("distance"))
+        .limit(k)
+    )
