@@ -265,8 +265,52 @@ def _q_salted_mpx(spark, sf_dir):
              F.round("dist", 2).alias("dist_r2"))
 
 
+def _q_segment_roundtrip(spark, sf_dir):
+    """decode(encode(series)) — the oracle is the raw series SQL itself,
+    so the driver verifies bit-exact value recovery through the
+    delta-of-delta + Gorilla codecs."""
+    from matrixprofile_spark.operators import segments as SEG
+
+    ser = _series(spark, sf_dir)
+    seg = SEG.encode_segments(ser, chunk_points=4096)
+    return SEG.decode_segments(seg).select("conv_id", "metric", "ts_epoch", "value")
+
+
+def _q_segment_stats(spark, sf_dir):
+    from matrixprofile_spark.operators import segments as SEG
+
+    ser = _series(spark, sf_dir)
+    seg = SEG.encode_segments(ser, chunk_points=4096)
+    return seg.groupBy("conv_id", "metric").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum("n").alias("total_points"),
+    )
+
+
+def _q_incremental_manifest(spark, sf_dir):
+    """Run the resumable rollup end-to-end (kill after 2 days, resume),
+    return the manifest; oracle recomputes per-(stage, day) row counts
+    in SQL. Proves watermark bookkeeping + no-recompute semantics."""
+    import tempfile
+
+    from matrixprofile_spark.streaming import incremental as INC
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    wd = tempfile.mkdtemp(prefix="mp_spark_inc_")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd, max_days_per_stage=2)  # "kill"
+    INC.run_incremental_rollup(spark, wd)  # resume
+    return INC.manifest_df(spark, wd).select(
+        "stage", F.col("partition_key").cast("bigint").alias("day"),
+        F.col("rows").alias("n_rows"), "watermark_epoch",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "segment_roundtrip": _q_segment_roundtrip,
+        "segment_stats": _q_segment_stats,
+        "incremental_manifest": _q_incremental_manifest,
         "mpx_w16": _q_mpx_w16,
         "mass2_w16": _q_mass2_w16,
         "discords_top3": _q_discords,
@@ -354,6 +398,47 @@ sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "segment_roundtrip": f"""
+WITH {_SERIES_CTE}
+SELECT conv_id, metric, ts_epoch, value FROM series
+""".strip(),
+        "segment_stats": f"""
+WITH {_SERIES_CTE}
+SELECT conv_id, metric,
+       CAST(CEIL(count(*) / 4096.0) AS BIGINT) AS n_segments,
+       count(*) AS total_points
+FROM series GROUP BY 1, 2
+""".strip(),
+        "incremental_manifest": f"""
+WITH {_SERIES_CTE},
+pts AS (
+  SELECT conv_id, metric, ts_epoch, value,
+         CAST(FLOOR(ts_epoch / 86400.0) AS BIGINT) AS day
+  FROM series WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+),
+m1 AS (
+  SELECT '1m' AS stage, day, count(*) AS n_rows,
+         (day + 1) * 86400 AS watermark_epoch
+  FROM (SELECT DISTINCT conv_id, metric, day,
+               CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS b FROM pts)
+  GROUP BY day
+),
+m2 AS (
+  SELECT '1h' AS stage, day, count(*) AS n_rows,
+         (day + 1) * 86400 AS watermark_epoch
+  FROM (SELECT DISTINCT conv_id, metric, day,
+               CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT) AS b FROM pts)
+  GROUP BY day
+),
+m3 AS (
+  SELECT '1d' AS stage, day, count(*) AS n_rows,
+         (day + 1) * 86400 AS watermark_epoch
+  FROM (SELECT DISTINCT conv_id, metric, day,
+               CAST(FLOOR(ts_epoch / 86400.0) * 86400 AS BIGINT) AS b FROM pts)
+  GROUP BY day
+)
+SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3
+""".strip(),
         "mpx_w16": f"""
 WITH {_CHOSEN_CTE},
 dots AS (

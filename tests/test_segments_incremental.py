@@ -1,0 +1,159 @@
+"""Tier-3 invariants: compression round-trips (FIXTURES.md F5) and
+checkpoint/resume (F6a) + retention."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from matrixprofile_spark.kernels.compression import (
+    decode_timestamps_dod,
+    decode_values_gorilla,
+    encode_timestamps_dod,
+    encode_values_gorilla,
+)
+from matrixprofile_spark.operators import rollup, segments
+from matrixprofile_spark.operators import series as S
+from matrixprofile_spark.sources.synth import synth_transcripts
+from matrixprofile_spark.streaming import incremental as INC
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return synth_transcripts(spark, 10).cache()
+
+
+def test_codec_adversarial_roundtrip():
+    rng = np.random.RandomState(0)
+    cases = [
+        np.array([0.0, -0.0, 1.5, 1.5, np.inf, -np.inf, np.nan, 5e-324,
+                  1e308, -1e-310]),
+        np.full(5000, 2.5),
+        rng.uniform(-1e9, 1e9, 4096),
+        np.where(rng.rand(1000) < 0.5, 1.0, -1.0),
+    ]
+    for c in cases:
+        dec = decode_values_gorilla(encode_values_gorilla(c))
+        np.testing.assert_array_equal(c.view(np.uint64), dec.view(np.uint64))
+    ts_cases = [
+        1_600_000_000 + 60 * np.arange(4096, dtype=np.int64),
+        np.cumsum(rng.choice([1, 2, 5, 30, 300], 2048)).astype(np.int64),
+        np.array([0, 10**15, 3, -5, 10**18], dtype=np.int64),
+    ]
+    for c in ts_cases:
+        np.testing.assert_array_equal(
+            c, decode_timestamps_dod(encode_timestamps_dod(c))
+        )
+
+
+def test_series_segment_roundtrip(spark, transcripts):
+    ser = S.project_series(transcripts)
+    seg = segments.encode_segments(ser, chunk_points=256)
+    back = segments.decode_segments(seg)
+    a = (
+        ser.select("conv_id", "metric", "ts_epoch", "value")
+        .orderBy("conv_id", "metric", "ts_epoch")
+        .toPandas()
+    )
+    b = (
+        back.select("conv_id", "metric", "ts_epoch", "value")
+        .orderBy("conv_id", "metric", "ts_epoch")
+        .toPandas()
+    )
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["ts_epoch"].values, b["ts_epoch"].values)
+    av = a["value"].to_numpy(dtype=float)
+    bv = b["value"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(av), np.isnan(bv))
+    np.testing.assert_array_equal(av[~np.isnan(av)], bv[~np.isnan(bv)])
+    # compression actually compresses: segment bytes < raw 16B/point
+    sizes = seg.selectExpr(
+        "sum(length(ts_bytes) + length(val_bytes)) AS b", "sum(n) AS n"
+    ).collect()[0]
+    assert sizes["b"] < 16 * sizes["n"]
+
+
+def test_transcript_text_roundtrip_per_turn_equality(spark, transcripts):
+    """input_hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) ordering after the compressed round-trip."""
+    seg = segments.encode_transcript_segments(transcripts, chunk_turns=100)
+    back = segments.decode_transcript_segments(seg)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_epoch"]
+    a = transcripts.select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    b = back.select(*cols).orderBy("conv_id", "turn_idx").toPandas()
+    b["turn_idx"] = b["turn_idx"].astype(a["turn_idx"].dtype)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_incremental_resume_no_recompute(spark, transcripts, tmp_path):
+    ser = S.project_series(transcripts)
+    wd_inc = str(tmp_path / "inc")
+    wd_full = str(tmp_path / "full")
+    INC.write_series_source(ser, wd_inc)
+    INC.write_series_source(ser, wd_full)
+
+    # killed run: only 2 day-partitions per stage get committed
+    first = INC.run_incremental_rollup(spark, wd_inc, max_days_per_stage=2)
+    assert all(len(v) <= 2 for v in first.values())
+    # resumed run: finishes the rest, never reprocesses committed days
+    second = INC.run_incremental_rollup(spark, wd_inc)
+    for stage in ("1m", "1h", "1d"):
+        assert not set(first[stage]) & set(second[stage])
+
+    clean = INC.run_incremental_rollup(spark, wd_full)
+    for stage in ("1m", "1h", "1d"):
+        a = (
+            INC.read_tier(spark, wd_inc, stage)
+            .orderBy("conv_id", "metric", "bucket_epoch")
+            .toPandas()
+        )
+        b = (
+            INC.read_tier(spark, wd_full, stage)
+            .orderBy("conv_id", "metric", "bucket_epoch")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    # manifest carries lineage metrics for every committed partition
+    man = INC.manifest_df(spark, wd_inc).toPandas()
+    assert (man["rows"] > 0).all() and (man["bytes"] > 0).all()
+    total_days = len(first["1m"]) + len(second["1m"])
+    assert len(man[man.stage == "1m"]) == total_days
+
+    # third run is a no-op
+    third = INC.run_incremental_rollup(spark, wd_inc)
+    assert all(len(v) == 0 for v in third.values())
+
+
+def test_incremental_matches_batch_cascade(spark, transcripts, tmp_path):
+    ser = S.project_series(transcripts)
+    wd = str(tmp_path / "inc2")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd)
+    got = (
+        INC.read_tier(spark, wd, "1d")
+        .orderBy("conv_id", "metric", "bucket_epoch")
+        .toPandas()
+    )
+    want = (
+        rollup.build_cascade(ser)["1d"]
+        .orderBy("conv_id", "metric", "bucket_epoch")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+def test_retention_drops_only_expired(spark, transcripts, tmp_path):
+    ser = S.project_series(transcripts)
+    wd = str(tmp_path / "ret")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd)
+    now = ser.agg({"ts_epoch": "max"}).collect()[0][0]
+    before_1d = INC.read_tier(spark, wd, "1d").count()
+    dropped = INC.apply_retention(wd, now, keep_raw_s=INC.DAY_S,
+                                  keep_1m_s=2 * INC.DAY_S,
+                                  keep_1h_s=3 * INC.DAY_S)
+    assert isinstance(dropped["raw"], list)
+    # 1d tier untouched by retention
+    assert INC.read_tier(spark, wd, "1d").count() == before_1d
