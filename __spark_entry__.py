@@ -265,6 +265,110 @@ def _q_salted_mpx(spark, sf_dir):
              F.round("dist", 2).alias("dist_r2"))
 
 
+# -------- training-data pipeline queries (documents / embeddings) --------
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_corpus(spark, sf_dir):
+    """documents ∪ exact dups (id+10000, doc_id%3==0) ∪ near dups
+    (id+20000, last word dropped, doc_id%5==0) — deterministic corpus
+    that makes dedup observable; the oracle builds the identical corpus
+    in SQL."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), " ")
+    exact = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from matrixprofile_spark.operators import dedup as DD
+
+    return DD.exact_dedup(_doc_corpus(spark, sf_dir))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    from matrixprofile_spark.operators import dedup as DD
+
+    corpus = _doc_corpus(spark, sf_dir)
+    sh = DD.shingles(corpus, n=3)
+    sigs = DD.minhash_signatures(sh, num_hashes=8)
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4)
+    return DD.jaccard_pairs(sh, pairs).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from matrixprofile_spark.operators import dedup as DD
+
+    return DD.simhash(_doc_corpus(spark, sf_dir), bits=16)
+
+
+def _q_token_stats(spark, sf_dir):
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_score(spark, sf_dir):
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.langid(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.fingerprints(_docs(spark, sf_dir))
+
+
+def _query_vecs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _q_ann_brute(spark, sf_dir):
+    from matrixprofile_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.brute_force_topk(emb, _query_vecs(spark, sf_dir), k=5)
+    return out.select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id", F.round("cos", 4).alias("cos_r4"))
+
+
+def _q_ann_ivf(spark, sf_dir):
+    from matrixprofile_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = SIM.ivf_topk(emb, _query_vecs(spark, sf_dir), k=5, nprobe=2)
+    return out.select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id", F.round("cos", 4).alias("cos_r4"))
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    from matrixprofile_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.hyperplane_lsh_buckets(emb, planes=8)
+
+
 def _q_segment_roundtrip(spark, sf_dir):
     """decode(encode(series)) — the oracle is the raw series SQL itself,
     so the driver verifies bit-exact value recovery through the
@@ -308,6 +412,16 @@ def _q_incremental_manifest(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "langid": _q_langid,
+        "fingerprints": _q_fingerprints,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_buckets": _q_lsh_buckets,
         "segment_roundtrip": _q_segment_roundtrip,
         "segment_stats": _q_segment_stats,
         "incremental_manifest": _q_incremental_manifest,
@@ -396,8 +510,212 @@ sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
 """.strip()
 
 
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id,
+         array_to_string(
+           (string_split(trim(text), ' '))[1:len(string_split(trim(text), ' ')) - 1],
+           ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)
+""".strip()
+
+_COS_FOLD = (
+    "list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_exact": f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
+       count(*) AS dup_count
+FROM corpus GROUP BY 1
+""".strip(),
+        "dedup_minhash_lsh": f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+sig AS (
+  SELECT id,
+    min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+    min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+    min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+    min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+  FROM sh GROUP BY id
+),
+banded AS (
+  SELECT id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+  UNION ALL SELECT id, 1, md5(h2 || '|' || h3) FROM sig
+  UNION ALL SELECT id, 2, md5(h4 || '|' || h5) FROM sig
+  UNION ALL SELECT id, 3, md5(h6 || '|' || h7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.id = p.id_a
+  JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r6
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+""".strip(),
+        "dedup_simhash": f"""
+WITH {_CORPUS_CTE},
+tok AS (SELECT doc_id AS id, unnest(string_split(trim(text), ' ')) AS token
+        FROM corpus),
+th AS (SELECT id, CAST(('0x' || substr(md5(token), 1, 15)) AS UBIGINT) AS h
+       FROM tok),
+bitsum AS (
+  SELECT id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, range(0, 16) r(i) GROUP BY 1, 2
+)
+SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY id
+""".strip(),
+        "token_stats": """
+SELECT doc_id AS id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT) AS n_ws_tokens
+FROM documents
+""".strip(),
+        "quality_score": """
+WITH t AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS toks FROM documents
+),
+m AS (
+  SELECT id, len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct,
+    len(list_filter(toks,
+        x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS n_stop
+  FROM t
+)
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(n_distinct / n_tokens, 6) AS distinct_ratio,
+  round(n_stop / n_tokens, 6) AS stop_ratio,
+  round(0.4 * least(1.0, n_tokens / 100.0)
+        + 0.3 * (n_distinct / n_tokens)
+        + 0.3 * least(1.0, (n_stop / n_tokens) * 5), 6) AS quality
+FROM m
+""".strip(),
+        "langid": """
+WITH t AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS toks FROM documents
+),
+long AS (
+  SELECT id, 'de' AS lang, len(list_filter(toks, x -> list_contains(['der','die','das','und','ein'], x))) AS hits FROM t
+  UNION ALL
+  SELECT id, 'en', len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) FROM t
+  UNION ALL
+  SELECT id, 'es', len(list_filter(toks, x -> list_contains(['el','la','de','los','que'], x))) FROM t
+  UNION ALL
+  SELECT id, 'fr', len(list_filter(toks, x -> list_contains(['le','la','les','des','une'], x))) FROM t
+  UNION ALL
+  SELECT id, 'zh', len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) FROM t
+),
+best AS (
+  SELECT id, lang, hits,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, lang DESC) AS rn
+  FROM long
+)
+SELECT id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(hits AS BIGINT) AS lang_hits
+FROM best WHERE rn = 1
+""".strip(),
+        "fingerprints": """
+WITH t AS (
+  SELECT doc_id AS id, trim(text) AS txt,
+         string_split(trim(text), ' ') AS toks
+  FROM documents
+)
+SELECT id, md5(txt) AS content_md5,
+  list_aggregate(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                 i -> md5(array_to_string(toks[i:i+4], ' '))), 'min') AS winnow_fp
+FROM t
+""".strip(),
+        "ann_brute_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         {_COS_FOLD.format(a='q.qvec', b='e.embedding')} AS cos
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos, 4) AS cos_r4
+FROM r WHERE rank <= 5
+""".strip(),
+        "ann_ivf_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+),
+cent AS (
+  SELECT label AS cell, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+  FROM embeddings, range(1, 65) r(i) GROUP BY 1, 2
+),
+centl AS (SELECT cell, list(m ORDER BY i) AS centroid FROM cent GROUP BY 1),
+routed AS (
+  SELECT q.query_id, q.qvec, c.cell,
+         {_COS_FOLD.format(a='q.qvec', b='c.centroid')} AS ccos
+  FROM q, centl c
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, cell) AS crank
+    FROM routed
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {_COS_FOLD.format(a='p.qvec', b='e.embedding')} AS cos
+  FROM probes p JOIN embeddings e ON e.label = p.cell
+  WHERE e.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos, 4) AS cos_r4
+FROM r WHERE rank <= 5
+""".strip(),
         "segment_roundtrip": f"""
 WITH {_SERIES_CTE}
 SELECT conv_id, metric, ts_epoch, value FROM series

@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All pure DataFrame/Catalyst expressions — no Python UDFs — so every
+stage stays in whole-stage codegen and scales by shuffle:
+
+- exact_dedup: hash-groupBy on md5(text); survivor = min id.
+- shingles: word n-gram shingling via sequence/transform/slice.
+- minhash_signatures: k independent min-hashes; h_i(doc) =
+  min over shingles of md5(i || '|' || shingle) (lexicographic min over
+  a uniform hex hash is a valid min-hash).
+- lsh_candidate_pairs: band the signature, group by (band, band-hash),
+  emit intra-bucket pairs — the classic MinHash-LSH candidate join. The
+  bucket join is an equi-join on the band hash (shuffle on a short hex
+  string), never an all-pairs cross join.
+- jaccard_pairs: exact n-gram Jaccard for candidate pairs via a
+  shingle-level join: |A∩B| / (|A|+|B|−|A∩B|).
+- simhash: b-bit sign-of-weighted-sum over token hashes, bit arithmetic
+  in SQL; equal simhash → near-dup bucket.
+
+At 100 TB: every groupBy key here (text hash, band hash, simhash) is
+high-cardinality and uniform by construction (cryptographic hash), so
+the shuffles are skew-free; candidate pairs are bounded by bucket sizes
+rather than n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per distinct text: survivor id + duplicate count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(id, shingle) rows — distinct word n-grams per document."""
+    toks = tokens_col(text_col)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(id, sig array<string>) — sig[i] = min md5(i||'|'||shingle)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
+    num_hashes = None  # derived per-row via slice
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.slice(
+                                F.col("sig"),
+                                b * (F.size("sig") / bands).cast("int") + 1,
+                                (F.size("sig") / bands).cast("int"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for the candidate pairs."""
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = sh.select(F.col("id").alias("id_a"), "shingle")
+    ib = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(ia, "id_a").join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """b-bit SimHash: per bit, sign of Σ_tokens (bit(h(tok)) ? +1 : −1).
+
+    Token hash = first 15 hex chars of md5 as an integer (portable to
+    the DuckDB oracle via the same construction)."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(text_col)).alias("token"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("bigint")
+    tok = tok.select("id", h.alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k of query vectors against the
+  corpus. The dot product is a sequential F.aggregate fold over
+  zip_with products — JVM-side, deterministic summation order (matters
+  for bit-stable results across partitionings).
+- ivf_topk: IVF-style two-stage ANN: per-cell centroids (posexplode +
+  per-dimension mean), route each query to its nprobe closest cells,
+  search only those cells. The centroid table is tiny → broadcast; the
+  cell search is an equi-join on cell id — no cross join anywhere.
+- hyperplane_lsh_buckets: sign-sketch bucketing (random-hyperplane LSH)
+  with deterministic ±1 hyperplanes derived from md5(plane, dim) — a
+  scale path where even nprobe cells are too big: candidates share a
+  bucket key.
+
+At 100 TB: brute force is the per-query-batch baseline (one broadcast
+of the query block, map-side cosine, TakeOrderedAndProject); IVF cuts
+the scanned fraction to nprobe/n_cells; both avoid shuffling the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cos(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """queries(query_id, qvec) × corpus → top-k by cosine.
+
+    The query block is broadcast; ranking is deterministic
+    (cosine desc, neighbor id asc); self-matches excluded."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    crossed = corpus.join(F.broadcast(queries)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = crossed.select(
+        "query_id", "neighbor_id", _cos(F.col("qvec"), F.col("nvec")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def cell_centroids(
+    embeddings: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell per-dimension mean → centroid arrays (IVF codebook)."""
+    exploded = embeddings.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    means = exploded.groupBy("cell", "pos").agg(
+        (F.sum(F.col("v").cast("double")) / F.count("v")).alias("m")
+    )
+    return means.groupBy("cell").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+        .alias("centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label",
+) -> DataFrame:
+    """Route each query to its nprobe nearest cell centroids, then exact
+    cosine inside those cells only."""
+    cents = cell_centroids(embeddings, cell_col, vec_col)
+    routed = queries.join(F.broadcast(cents)).select(
+        "query_id", "qvec", "cell", _cos(F.col("qvec"), F.col("centroid")).alias("ccos")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    probes = (
+        routed.withColumn("crank", F.row_number().over(wr))
+        .where(F.col("crank") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = corpus.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", _cos(F.col("qvec"), F.col("nvec")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame, planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-sketch bucket per vector: bit p = sign(Σ_d s(p,d)·v_d) with
+    s(p,d) = ±1 from md5(p||','||d) parity — deterministic, no RNG."""
+    exploded = embeddings.select(
+        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    planes_df = exploded.sparkSession.range(planes).select(
+        F.col("id").cast("int").alias("plane")
+    )
+    crossed = exploded.join(F.broadcast(planes_df))
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat_ws(",", F.col("plane"), F.col("pos"))), 1, 15),
+            16, 10,
+        ).cast("bigint") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    sums = crossed.groupBy("id", "plane").agg(
+        F.sum(sign * F.col("v").cast("double")).alias("dot")
+    )
+    bits = sums.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("plane")))
+            .otherwise(F.lit(0.0))
+        ).cast("bigint").alias("bucket")
+    )
+    return bits

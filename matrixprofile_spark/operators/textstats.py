@@ -1,0 +1,109 @@
+"""Text analysis operators for training-data pipelines.
+
+Pure Catalyst expressions over the documents table:
+- token_stats: token count (whitespace + regex), char/word lengths,
+  distinct-token ratio.
+- quality_score: deterministic combination of length, mean word
+  length, stopword ratio, distinct ratio — the usual cheap pre-filter
+  signals for corpus curation.
+- langid: stopword-profile n-way vote (argmax of per-language marker
+  hits; 'und' when nothing matches). A tiny deterministic heuristic —
+  the point is the Spark shape (broadcast profile table → explode →
+  group-vote), not linguistic accuracy.
+- fingerprints: document content hash (md5 of normalized text) + a
+  winnowing-style robust fingerprint = min md5 over word 5-grams
+  (stable under small edits away from the minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "fr": ["le", "la", "les", "des", "une"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.trim(F.col(text_col)), " ")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (F.length(F.regexp_replace(F.col(text_col), r"[^ ]", "")) + 1)
+        .cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """score = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio +
+    0.3·min(1, stop_ratio·5); integer-count arithmetic → exact."""
+    toks = _tokens(text_col)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = n_stop / n_tok
+    score = (
+        0.4 * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + 0.3 * distinct_ratio
+        + 0.3 * F.least(F.lit(1.0), stop_ratio * 5)
+    )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """argmax stopword-profile vote; deterministic tie-break by lang
+    code; 'und' when zero hits."""
+    hits = []
+    for lang in sorted(STOPWORDS):
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        hits.append(
+            F.expr(
+                f"size(filter(split(trim({text_col}), ' '), x -> x IN ({lst})))"
+            ).alias(f"hits_{lang}")
+        )
+    scored = docs.select(F.col(id_col).alias("id"), *hits)
+    pairs = F.array(*[
+        F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    best = F.array_max(pairs)  # struct compare: hits first, then lang
+    return scored.select(
+        "id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
+        best["hits"].cast("bigint").alias("lang_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    toks = _tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.trim(F.col(text_col))).alias("content_md5"),
+        F.array_min(grams).alias("winnow_fp"),
+    )
