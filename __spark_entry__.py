@@ -265,6 +265,160 @@ def _q_salted_mpx(spark, sf_dir):
              F.round("dist", 2).alias("dist_r2"))
 
 
+_STOMP_EZ = 8  # ceil(w/2) for w=16 (stomp.py:276)
+
+
+def _finite(df, col="dist"):
+    return df.where(~F.isnan(col) & (F.col(col) != float("inf")))
+
+
+def _floor_round(col, nd=2, eps=0.05):
+    """Round for oracle comparison, flooring near-zero distances to 0:
+    the kernel's O(1) rolling dot products and the oracle's exact sums
+    differ by ~1e-4 in the squared distance, which sqrt amplifies
+    unboundedly near zero — both sides clamp dist < eps to 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c < eps, F.lit(0.0)).otherwise(F.round(c, nd))
+
+
+def _q_stomp_w16(spark, sf_dir):
+    """STOMP exact profile (FFT seed + O(1) rolling update, ez=ceil(w/2));
+    oracle = brute-force SQL with the stomp exclusion zone."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    e = prof.select("conv_id", F.posexplode("mp").alias("idx", "dist"))
+    return _finite(e).select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        _floor_round("dist").alias("dist_r2"),
+    )
+
+
+def _q_stomp_left_w16(spark, sf_dir):
+    """STOMP left profile lmp (stomp.py:170-184): nearest neighbor among
+    j ≤ i − ez − 1 only; +inf edges dropped on both sides."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    e = prof.select("conv_id", F.posexplode("lmp").alias("idx", "dist"))
+    return _finite(e).select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        _floor_round("dist").alias("dist_r2"),
+    )
+
+
+def _q_scrimp_exact_w16(spark, sf_dir):
+    """SCRIMP++ at sample_pct=1.0 — all diagonals visited, so the result
+    is exact and shares the MPX brute-force oracle."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.scrimp_profiles(chosen, _MPX_W, sample_pct=1.0, packed=True)
+    e = prof.select("conv_id", F.posexplode("mp").alias("idx", "dist"))
+    return e.select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("dist", 2).alias("dist_r2"),
+    )
+
+
+def _ab_pairs(spark, sf_dir):
+    """Adjacent pairs of the 5 chosen conversations: (1st,2nd), (3rd,4th)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    ranked = chosen.select(
+        "conv_id", "values",
+        (F.row_number().over(W.orderBy("conv_id")) - 1).alias("rk"),
+    )
+    a = ranked.where(F.col("rk") % 2 == 0).select(
+        (F.col("rk") / 2).cast("int").alias("pair"),
+        F.col("conv_id").alias("conv_id_a"), F.col("values").alias("values_a"),
+    )
+    b = ranked.where(F.col("rk") % 2 == 1).select(
+        (F.col("rk") / 2).cast("int").alias("pair"),
+        F.col("conv_id").alias("conv_id_b"), F.col("values").alias("values_b"),
+    )
+    return a.join(b, "pair").withColumn("metric", F.lit("token_count"))
+
+
+def _q_ab_join_w16(spark, sf_dir):
+    """MPX AB similarity join (cympx.pyx:125-284): profile of A's windows
+    against B and vice versa — the reference's asymmetric theta-join."""
+    out = P.ab_join_pairs(_ab_pairs(spark, sf_dir), _MPX_W)
+    return out.select(
+        "conv_id_a", "conv_id_b", "side",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.round("dist", 2).alias("dist_r2"),
+    )
+
+
+def _q_av_cmp_w16(spark, sf_dir):
+    """Corrected matrix profile under the complexity annotation vector
+    (transform.py:131-179 + apply_av 15-87)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    out = P.cmp_profiles(chosen, _MPX_W, av="complexity", packed=True)
+    return out.select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("cmp", 2).alias("cmp_r2"),
+    )
+
+
+def _q_moving_median_w8(spark, sf_dir):
+    """Exact rolling median/std over 8-point forward windows — Spark
+    median() is exact (percentile_approx would not match the oracle)."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
+    # median() rejects window frames in Spark; sort the 8-element frame
+    # and average the middle pair — exact, still whole-stage codegen
+    srt = F.array_sort(F.collect_list("value").over(w))
+    out = tok.select(
+        "conv_id", "idx",
+        ((F.element_at(srt, 4) + F.element_at(srt, 5)) / 2.0).alias("mov_median"),
+        F.round(F.stddev_pop("value").over(w), 6).alias("mov_std_r6"),
+        F.size(srt).alias("_n"),
+    )
+    return out.where(F.col("_n") == 8).drop("_n")
+
+
+def _q_max_subsequence(spark, sf_dir):
+    """Per-series maximum_subsequence window search (skimp.py:246-384);
+    non-SQL-expressible (adaptive doubling/refine loop) → rows-only check."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    return P.max_subsequence_windows(chosen, threshold=0.95, packed=True)
+
+
+def _q_hcluster_assign(spark, sf_dir):
+    """Hierarchical clustering of conversations by pairwise MPDist
+    (hierarchical_clustering.py:18-146); linkage is driver-side over the
+    collected m×m condensed matrix → rows-only check."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    pd_ = P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True)
+    return P.hierarchical_assignments(pd_, t=2, criterion="maxclust")
+
+
+def _q_mstomp_w16(spark, sf_dir):
+    """mSTAMP multidimensional profile (mstomp.py:202-379) over dims
+    (token_count, reversed token_count); the reference's multid skip-
+    location path is broken (mstomp.py:284 calls a nonexistent core fn),
+    so this engine defines proper semantics → rows-only check."""
+    import numpy as np
+    import pandas as pd
+
+    from matrixprofile_spark.kernels.mstomp import mstomp
+
+    chosen = _chosen_token_series(spark, sf_dir)
+
+    def fn(key, pdf):
+        v = np.asarray(pdf["values"].iloc[0], dtype="d")
+        X = np.vstack([v, v[::-1]])
+        prof = mstomp(X, _MPX_W)
+        rows = []
+        for d in range(prof["mp"].shape[0]):
+            for i, dist in enumerate(prof["mp"][d]):
+                if np.isfinite(dist):
+                    rows.append({"conv_id": key[0], "dim": d, "idx": i,
+                                 "dist_r2": round(float(dist), 2)})
+        return pd.DataFrame(rows, columns=["conv_id", "dim", "idx", "dist_r2"])
+
+    return chosen.groupBy("conv_id", "metric").applyInPandas(
+        fn, "conv_id string, dim int, idx bigint, dist_r2 double"
+    )
+
+
 # -------- training-data pipeline queries (documents / embeddings) --------
 
 
@@ -427,6 +581,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_manifest": _q_incremental_manifest,
         "mpx_w16": _q_mpx_w16,
         "mass2_w16": _q_mass2_w16,
+        "stomp_w16": _q_stomp_w16,
+        "stomp_left_w16": _q_stomp_left_w16,
+        "scrimp_exact_w16": _q_scrimp_exact_w16,
+        "ab_join_w16": _q_ab_join_w16,
+        "av_cmp_w16": _q_av_cmp_w16,
+        "moving_median_w8": _q_moving_median_w8,
+        "max_subsequence": _q_max_subsequence,
+        "hcluster_assign": _q_hcluster_assign,
+        "mstomp_w16": _q_mstomp_w16,
         "discords_top3": _q_discords,
         "motifs_top3": _q_motifs,
         "regimes": _q_regimes,
@@ -532,6 +695,47 @@ _COS_FOLD = (
     "sqrt(list_aggregate(list_transform(range(1, 65), i -> "
     "CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')))"
 )
+
+
+def _w_stats_sql(w: int, name: str) -> str:
+    """Per-window mean/std CTE over `r` for window width w."""
+    return f"""{name} AS (
+  SELECT conv_id, i, mu, sig FROM (
+    SELECT conv_id, i,
+           avg(value) OVER wnd AS mu,
+           stddev_pop(value) OVER wnd AS sig,
+           count(*) OVER wnd AS cnt
+    FROM r
+    WINDOW wnd AS (PARTITION BY conv_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+  ) WHERE cnt = {w}
+)"""
+
+
+def _mpx_block_sql(w: int, st: str, tag: str) -> str:
+    """dots→corr→per-position max blocks for one window width."""
+    minlag = -(-w // 4)
+    return f"""d{tag} AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM {st} a
+  JOIN {st} b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {minlag}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {w}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+c{tag} AS (
+  SELECT d.conv_id, d.i,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {w} * sa.mu * sb.mu) / ({w} * sa.sig * sb.sig) END AS c
+  FROM d{tag} d
+  JOIN {st} sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN {st} sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+b{tag} AS (
+  SELECT conv_id, CAST({w} AS INTEGER) AS w, i AS idx,
+         round(sqrt(2 * {w} * (1 - least(max(c), 1.0))), 2) AS dist_r2
+  FROM c{tag} GROUP BY 1, 3
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -811,6 +1015,284 @@ dist AS (
 )
 SELECT conv_id, idx, round(sqrt(greatest(dsq, 0.0)), 2) AS dist_r2
 FROM dist
+""".strip(),
+        "stomp_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_STOMP_EZ}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT d.conv_id, d.i,
+    2 * ({_MPX_W} - (d.qt - {_MPX_W} * sa.mu * sb.mu)
+         / (sa.sig * sb.sig)) AS dsq
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  WHERE sa.sig > 0 AND sb.sig > 0
+)
+SELECT conv_id, i AS idx,
+       CASE WHEN sqrt(greatest(min(dsq), 0)) < 0.05 THEN 0.0
+            ELSE round(sqrt(min(dsq)), 2) END AS dist_r2
+FROM (SELECT conv_id, i, greatest(dsq, 0) AS dsq FROM dist) GROUP BY 1, 2
+""".strip(),
+        "stomp_left_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND b.i < a.i - {_STOMP_EZ}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT d.conv_id, d.i,
+    2 * ({_MPX_W} - (d.qt - {_MPX_W} * sa.mu * sb.mu)
+         / (sa.sig * sb.sig)) AS dsq
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  WHERE sa.sig > 0 AND sb.sig > 0
+)
+SELECT conv_id, i AS idx,
+       CASE WHEN sqrt(greatest(min(dsq), 0)) < 0.05 THEN 0.0
+            ELSE round(sqrt(min(dsq)), 2) END AS dist_r2
+FROM (SELECT conv_id, i, greatest(dsq, 0) AS dsq FROM dist) GROUP BY 1, 2
+""".strip(),
+        "scrimp_exact_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+corr AS (
+  SELECT d.conv_id, d.i,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+best AS (SELECT conv_id, i AS idx, max(c) AS cmax FROM corr GROUP BY 1, 2)
+SELECT conv_id, idx,
+       round(sqrt(2 * {_MPX_W} * (1 - least(cmax, 1.0))), 2) AS dist_r2
+FROM best
+""".strip(),
+        "ab_join_w16": f"""
+WITH {_CHOSEN_CTE},
+ranked AS (
+  SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS rk FROM chosen
+),
+pr AS (
+  SELECT a.conv_id AS ca, b.conv_id AS cb
+  FROM ranked a JOIN ranked b ON a.rk % 2 = 0 AND b.rk = a.rk + 1
+),
+dots AS (
+  SELECT p.ca, p.cb, a.i AS ia, b.i AS jb, sum(x.value * y.value) AS qt
+  FROM pr p
+  JOIN sub a ON a.conv_id = p.ca
+  JOIN sub b ON b.conv_id = p.cb
+  JOIN r x ON x.conv_id = p.ca AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = p.cb AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3, 4
+),
+corr AS (
+  SELECT d.ca, d.cb, d.ia, d.jb,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.ca AND sa.i = d.ia
+  JOIN sub sb ON sb.conv_id = d.cb AND sb.i = d.jb
+),
+sides AS (
+  SELECT ca, cb, 'a' AS side, ia AS idx, max(c) AS cmax
+  FROM corr GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT ca, cb, 'b' AS side, jb AS idx, max(c) AS cmax
+  FROM corr GROUP BY 1, 2, 3, 4
+)
+SELECT ca AS conv_id_a, cb AS conv_id_b, side, idx,
+       round(sqrt(2 * {_MPX_W} * (1 - least(cmax, 1.0))), 2) AS dist_r2
+FROM sides
+""".strip(),
+        "av_cmp_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+corr AS (
+  SELECT d.conv_id, d.i,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+mp AS (
+  SELECT conv_id, i AS idx,
+         sqrt(2 * {_MPX_W} * (1 - least(max(c), 1.0))) AS dist
+  FROM corr GROUP BY 1, 2
+),
+nxt AS (
+  SELECT conv_id, i,
+         lead(value) OVER (PARTITION BY conv_id ORDER BY i) AS nv, value
+  FROM r
+),
+dd AS (SELECT conv_id, i, (nv - value) * (nv - value) AS d2 FROM nxt),
+avr AS (
+  SELECT conv_id, i,
+    sqrt(sum(d2) OVER (PARTITION BY conv_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {_MPX_W - 2} FOLLOWING)
+         ) AS av
+  FROM dd
+),
+avp AS (
+  SELECT a.conv_id, a.i, a.av FROM avr a JOIN mp ON mp.conv_id = a.conv_id
+                                               AND mp.idx = a.i
+),
+avn AS (
+  SELECT conv_id, i,
+    CASE WHEN max(av) OVER (PARTITION BY conv_id) = 0 THEN 0.0
+         ELSE (av - min(av) OVER (PARTITION BY conv_id))
+              / max(av) OVER (PARTITION BY conv_id) END AS a
+  FROM avp
+)
+SELECT mp.conv_id, mp.idx,
+       round(mp.dist + (1 - avn.a)
+             * max(mp.dist) OVER (PARTITION BY mp.conv_id), 2) AS cmp_r2
+FROM mp JOIN avn ON avn.conv_id = mp.conv_id AND avn.i = mp.idx
+""".strip(),
+        "skimp_pmp": f"""
+WITH {_CHOSEN_CTE},
+{_w_stats_sql(8, "st8")},
+{_w_stats_sql(32, "st32")},
+{_mpx_block_sql(8, "st8", "8")},
+{_mpx_block_sql(16, "sub", "16")},
+{_mpx_block_sql(32, "st32", "32")}
+SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b8
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b16
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b32
+""".strip(),
+        "pairwise_mpdist": f"""
+WITH {_CHOSEN_CTE},
+{_w_stats_sql(8, "st8")},
+pr AS (
+  SELECT a.conv_id AS ca, b.conv_id AS cb
+  FROM chosen a JOIN chosen b ON a.conv_id < b.conv_id
+),
+dots AS (
+  SELECT p.ca, p.cb, a.i AS ia, b.i AS jb, sum(x.value * y.value) AS qt
+  FROM pr p
+  JOIN st8 a ON a.conv_id = p.ca
+  JOIN st8 b ON b.conv_id = p.cb
+  JOIN r x ON x.conv_id = p.ca AND x.i >= a.i AND x.i < a.i + 8
+  JOIN r y ON y.conv_id = p.cb AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3, 4
+),
+corr AS (
+  SELECT d.ca, d.cb, d.ia, d.jb,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - 8 * sa.mu * sb.mu) / (8 * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN st8 sa ON sa.conv_id = d.ca AND sa.i = d.ia
+  JOIN st8 sb ON sb.conv_id = d.cb AND sb.i = d.jb
+),
+prof AS (
+  SELECT ca, cb, 'a' AS side, ia AS pos, max(c) AS cmax
+  FROM corr GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT ca, cb, 'b' AS side, jb AS pos, max(c) AS cmax
+  FROM corr GROUP BY 1, 2, 3, 4
+),
+dists AS (
+  SELECT ca, cb, sqrt(2 * 8 * (1 - least(cmax, 1.0))) AS d FROM prof
+),
+nsz AS (SELECT conv_id, count(*) AS n FROM r GROUP BY 1),
+ranked AS (
+  SELECT ca, cb, d,
+         row_number() OVER (PARTITION BY ca, cb ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY ca, cb) AS cnt
+  FROM dists
+)
+SELECT rk.ca AS conv_id_a, rk.cb AS conv_id_b, CAST(8 AS INTEGER) AS w,
+       round(rk.d, 4) AS mpdist_r4
+FROM ranked rk
+JOIN nsz sa ON sa.conv_id = rk.ca
+JOIN nsz sb ON sb.conv_id = rk.cb
+WHERE rk.rn - 1 = least(rk.cnt - 1,
+                        CAST(ceil(0.05 * (sa.n + sb.n)) AS BIGINT) - 1)
+""".strip(),
+        "discords_top3": f"""
+WITH {_CHOSEN_CTE},
+{_mpx_block_sql(16, "sub", "d")},
+mp AS (
+  SELECT conv_id, i AS idx, sqrt(2 * 16 * (1 - least(max(c), 1.0))) AS dist
+  FROM cd GROUP BY 1, 2
+),
+p1 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM mp
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT mp.* FROM mp JOIN p1 USING (conv_id)
+  WHERE NOT (mp.idx >= p1.idx - 4 AND mp.idx < p1.idx + 4)
+),
+p2 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m2
+  ) WHERE rn = 1
+),
+m3 AS (
+  SELECT m2.* FROM m2 JOIN p2 USING (conv_id)
+  WHERE NOT (m2.idx >= p2.idx - 4 AND m2.idx < p2.idx + 4)
+),
+p3 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m3
+  ) WHERE rn = 1
+)
+SELECT conv_id, 'token_count' AS metric, CAST(0 AS BIGINT) AS rank, idx FROM p1
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank, idx FROM p2
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
+""".strip(),
+        "moving_median_w8": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+)
+SELECT conv_id, idx,
+       median(value) OVER w AS mov_median,
+       round(stddev_pop(value) OVER w, 6) AS mov_std_r6
+FROM tok
+WINDOW w AS (PARTITION BY conv_id ORDER BY idx
+             ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+QUALIFY count(*) OVER w = 8
 """.strip(),
         "transcripts": f"WITH transcripts AS ({_T}) SELECT * FROM transcripts",
         "series_latency": f"""

@@ -49,13 +49,17 @@ def distance_profile(
 ) -> np.ndarray:
     """z-normalized Euclidean distance from dot products + moving stats.
 
-    d = sqrt(2(w − (qt − w·μ_q·μ_t)/(σ_q·σ_t))) — core.py:447-478,
-    including the reference's "sqrt of possibly-negative → nan under
-    errstate ignore" behavior.
+    d = sqrt(2(w − (qt − w·μ_q·μ_t)/(σ_q·σ_t))) — core.py:447-478.
+
+    Deliberate deviation from the reference: fp cancellation can push the
+    squared distance a few ulp below zero for (near-)identical windows;
+    the reference's sqrt then yields nan and the candidate is silently
+    SKIPPED (profile value becomes fp-noise-dependent). We clamp to 0 —
+    an exact-duplicate window has distance 0 by definition.
     """
     dp = 2 * (w - (prod - w * data_mu * query_mu) / (data_sig * query_sig))
     with np.errstate(divide="ignore", invalid="ignore"):
-        return np.sqrt(np.real(dp))
+        return np.sqrt(np.maximum(np.real(dp), 0.0))
 
 
 def apply_exclusion_zone(

@@ -33,6 +33,9 @@ from numpy.lib.stride_tricks import as_strided
 from matrixprofile_spark.kernels.moving import muinvn
 
 _BLOCK = 128
+_TILE = 1024  # column-tile width: keeps the per-tile working set (~1.2 MB
+# at B=128) cache-resident so concurrent Spark python workers don't fight
+# over DRAM bandwidth — the full-width variant capped at ~8× on 32 cores
 
 
 def _diffs(ts: np.ndarray, mu: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -58,12 +61,20 @@ def mpx_self_join(
     cross_correlation: bool = False,
     diag_range: tuple[int, int] | None = None,
     block: int = _BLOCK,
+    tile: int = _TILE,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact matrix profile of ts against itself.
 
     diag_range=(lo, hi) restricts to diagonals lo..hi-1 (both already
     offset past minlag) and returns a PARTIAL profile in correlation
     space for later merging; None → full profile in the requested metric.
+
+    The diagonal blocks are processed in cache-sized column tiles with a
+    carried covariance (the cumsum split at tile boundaries); the
+    anti-diagonal (col-row) reduction reads the SAME corr buffer through
+    a sheared as_strided view (row stride R−E), so no scatter/gather and
+    no second materialization — per-element DRAM traffic is just the
+    df/dg/sig streams.
     """
     ts = np.ascontiguousarray(ts, dtype=np.float64)
     n = len(ts)
@@ -78,56 +89,83 @@ def mpx_self_join(
     lo, hi = (minlag + 1, pl) if diag_range is None else diag_range
     lo = max(lo, minlag + 1)
     hi = min(hi, pl)
+    if hi <= lo:
+        if diag_range is not None:
+            return mp, mpi
+        return finalize_self_join(mp, mpi, w, cross_correlation)
 
-    # padded copies so the strided row views never run off the end
-    dfp = np.concatenate((df, np.zeros(block)))
-    dgp = np.concatenate((dg, np.zeros(block)))
-    sigp = np.concatenate((sig, np.zeros(block)))
+    B, C = block, tile
+    # padded copies so the sheared row views never run off the end
+    pad = np.zeros(B + C)
+    dfp = np.concatenate((df, pad))
+    dgp = np.concatenate((dg, pad))
+    sigp = np.concatenate((sig, pad))
     q0 = ts[:w] - mu[0]
 
-    for d0 in range(lo, hi, block):
-        b = min(block, hi - d0)
+    # reusable corr buffer: B rows × (C + B) cols; the last B columns are
+    # a permanent -inf apron read by the sheared anti-diagonal view
+    corr = np.full((B, C + B), -np.inf)
+    E = corr.strides[1]
+    R = corr.strides[0]
+
+    for d0 in range(lo, hi, B):
+        b = min(B, hi - d0)
         m0 = pl - d0  # widest diagonal in this block
         # seed covariances: c0[r] = (ts[d:d+w]-mu[d])·(ts[:w]-mu[0])
         idx = np.arange(w)[None, :] + np.arange(d0, d0 + b)[:, None]
-        c0 = (ts[idx] - mu[d0 : d0 + b, None]) @ q0
-        # per-diagonal prefix-sum of the difference-equation terms
-        DG = _shifted_view(dgp, d0, b, m0)
-        DF = _shifted_view(dfp, d0, b, m0)
-        terms = df[None, :m0] * DG + DF * dg[None, :m0]
-        cov = np.cumsum(terms, axis=1)
-        cov += c0[:, None]
-        corr = cov * sig[None, :m0] * _shifted_view(sigp, d0, b, m0)
-        # mask past each diagonal's end: valid while offset < pl - (d0+r)
-        r = np.arange(b)[:, None]
-        o = np.arange(m0)[None, :]
-        corr[o + r >= m0] = -np.inf
+        carry = (ts[idx] - mu[d0 : d0 + b, None]) @ q0
+        prev_cw = C
+        for o0 in range(0, m0, C):
+            cw = min(C, m0 - o0)
+            sub = corr[:b, :cw]
+            # terms of the difference equation (cympx.pyx:76-80), summed
+            # along each diagonal via a carried prefix sum
+            DG = as_strided(dgp[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            DF = as_strided(dfp[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            np.multiply(DG, df[None, o0 : o0 + cw], out=sub)
+            sub += DF * dg[None, o0 : o0 + cw]
+            np.cumsum(sub, axis=1, out=sub)
+            sub += carry[:, None]
+            # carry covariance into the next tile BEFORE the corr scaling
+            if o0 + cw < m0:
+                carry = sub[:, cw - 1].copy()
+            np.multiply(sub, sig[None, o0 : o0 + cw], out=sub)
+            sub *= as_strided(sigp[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            # mask each diagonal's tail: row r valid while o0+c < m0 - r
+            vstart = m0 - o0  # row 0's valid width in this tile
+            if vstart < cw + b:
+                for r in range(max(0, vstart - cw), b):
+                    corr[r, max(vstart - r, 0) : cw] = -np.inf
+            # clear stale cells from the previous (wider) tile so the
+            # sheared view only sees -inf beyond this tile's width
+            if cw < prev_cw:
+                corr[:b, cw:prev_cw] = -np.inf
+            prev_cw = cw
 
-        # reduce over the block's diagonals (argmax tie → smallest diag,
-        # matching the reference's ascending-diagonal strict-> updates)
-        best_r = np.argmax(corr, axis=0)
-        best = corr[best_r, np.arange(m0)]
-        # col-row candidates: row j receives corr[r, j-d0-r]
-        anti = np.full((b, m0 + b), -np.inf)
-        anti[r, o + r] = np.where(np.isneginf(corr), -np.inf, np.minimum(corr, 1.0))
-        anti_src = np.full((b, m0 + b), -np.inf)
-        anti_src[r, o + r] = corr
-        cb_r = np.argmax(anti_src, axis=0)
-        cols = np.arange(m0 + b)
-        cb = anti_src[cb_r, cols]
-        cb_store = anti[cb_r, cols]
+            # --- col-row (anti-diagonal) updates first: they read the
+            # pre-tile state in the reference's scan order ---
+            aw = min(cw + b, pl - d0 - o0)  # j = d0+o0+c must stay < pl
+            anti = as_strided(corr, shape=(b, aw), strides=(R - E, E))
+            cb_r = np.argmax(anti, axis=0)
+            cb = anti[cb_r, np.arange(aw)]
+            j0 = d0 + o0
+            valid = cb > -np.inf
+            cols = np.nonzero(valid)[0]
+            cbv = cb[cols]
+            upd = cbv > mp[j0 + cols]
+            jj = j0 + cols[upd]
+            mp[jj] = np.minimum(cbv[upd], 1.0)
+            mpi[jj] = o0 + cols[upd] - cb_r[cols][upd]
 
-        # col updates first (they read the pre-block state in the
-        # reference's scan order), then offset updates
-        valid = cb > -np.inf
-        j = cols[valid] + d0
-        upd = cb[valid] > mp[j]
-        jj = j[upd]
-        mp[jj] = cb_store[valid][upd]
-        mpi[jj] = cols[valid][upd] - cb_r[valid][upd]
-        upd2 = best > mp[:m0]
-        mp[:m0][upd2] = best[upd2]
-        mpi[:m0][upd2] = np.nonzero(upd2)[0] + d0 + best_r[upd2]
+            # --- offset-side updates ---
+            best_r = np.argmax(sub, axis=0)
+            best = sub[best_r, np.arange(cw)]
+            upd2 = best > mp[o0 : o0 + cw]
+            tgt = np.nonzero(upd2)[0]
+            mp[o0 + tgt] = best[upd2]
+            mpi[o0 + tgt] = tgt + o0 + d0 + best_r[upd2]
+        # reset the written region for the next block
+        corr[:b, :prev_cw] = -np.inf
 
     if diag_range is not None:
         return mp, mpi  # partial, correlation space

@@ -104,6 +104,22 @@ def _too_short(values: np.ndarray, w: int) -> bool:
     return len(values) < 2 * w
 
 
+def _kernel_parts(df: DataFrame) -> int:
+    """Task count for grouped-kernel stages: 8× cores.
+
+    Kernel stages are CPU-bound with O(n²) flops per O(n) bytes, so
+    AQE's byte-based coalescing would under-partition them; instead the
+    operators repartition by the group key with an explicit count
+    (REPARTITION_BY_NUM — AQE honors it), fine-grained enough that
+    multi-wave scheduling packs uneven groups without stragglers."""
+    return df.sparkSession.sparkContext.defaultParallelism * 8
+
+
+def _grouped(src: DataFrame, *cols: str):
+    """Group for a kernel stage with work-balanced explicit partitioning."""
+    return src.repartition(_kernel_parts(src), *cols).groupBy(*cols)
+
+
 def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
     """Exact MPX matrix profile per series (mpx.py:20-100 per group).
 
@@ -118,7 +134,7 @@ def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
             return _profile_row(key, W.mpx_profile(values, w)).iloc[0:0]
         return _profile_row(key, W.mpx_profile(values, w))
 
-    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
 
 
 def stomp_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
@@ -133,7 +149,7 @@ def stomp_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame
                                       "algorithm": "stomp"}).iloc[0:0]
         return _profile_row(key, stomp(values, w))
 
-    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
 
 
 def scrimp_profiles(
@@ -159,7 +175,7 @@ def scrimp_profiles(
                                 random_state=gseed)
         return _profile_row(key, prof)
 
-    return src.groupBy("conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
 
 
 def skimp_profiles(
@@ -194,7 +210,7 @@ def skimp_profiles(
             out["algorithm"] = "skimp"
             return out
 
-        return crossed.groupBy("conv_id", "metric", "w").applyInPandas(
+        return _grouped(crossed, "conv_id", "metric", "w").applyInPandas(
             fn_one, PROFILE_SCHEMA
         )
 
@@ -220,7 +236,7 @@ def skimp_profiles(
             })
         return pd.DataFrame(rows)
 
-    return src.groupBy("conv_id", "metric").applyInPandas(fn_sweep, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn_sweep, PROFILE_SCHEMA)
 
 
 def with_discoveries(
@@ -264,7 +280,7 @@ def with_discoveries(
             "regimes": reg,
         }])
 
-    return joined.groupBy("conv_id", "metric", "w").applyInPandas(
+    return _grouped(joined, "conv_id", "metric", "w").applyInPandas(
         fn, DISCOVERY_SCHEMA
     )
 
@@ -292,7 +308,7 @@ def snippet_profiles(
             for i, s in enumerate(out)
         ])
 
-    return src.groupBy("conv_id", "metric").applyInPandas(fn, SNIPPET_SCHEMA)
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, SNIPPET_SCHEMA)
 
 
 def pairwise_mpdist(
@@ -335,6 +351,129 @@ def pairwise_mpdist(
             "conv_id_a", "conv_id_b", "metric", "w", "mpdist"])
 
     return pairs.mapInPandas(lambda it: (fn(pdf) for pdf in it), MPDIST_SCHEMA)
+
+
+AB_SCHEMA = (
+    "conv_id_a string, conv_id_b string, metric string, w int, "
+    "side string, idx long, dist double"
+)
+
+CMP_SCHEMA = "conv_id string, metric string, w int, idx long, cmp double"
+
+MAXW_SCHEMA = "conv_id string, metric string, upper_window int"
+
+
+def ab_join_pairs(pairs: DataFrame, w: int) -> DataFrame:
+    """AB similarity join per (series A, series B) pair — the reference's
+    asymmetric theta-join on z-normalized distance (cympx.pyx:125-284).
+
+    `pairs` rows: (conv_id_a, conv_id_b, metric, values_a, values_b).
+    Output: one row per profile position and side ('a' = profile of A's
+    windows against B, 'b' = B against A); unmatched rows are +inf in
+    the reference and are dropped here (cympx.pyx:260-274 sentinel)."""
+    from matrixprofile_spark.kernels.mpx import mpx_ab_join
+
+    def fn(pdf):
+        rows = []
+        for _, r in pdf.iterrows():
+            va = np.asarray(r["values_a"], dtype="d")
+            vb = np.asarray(r["values_b"], dtype="d")
+            if len(va) < 2 * w or len(vb) < 2 * w:
+                continue
+            mp, _, mpb, _ = mpx_ab_join(va, vb, w)
+            for side, prof in (("a", mp), ("b", mpb)):
+                for i, d in enumerate(prof):
+                    if np.isfinite(d):
+                        rows.append({
+                            "conv_id_a": r["conv_id_a"],
+                            "conv_id_b": r["conv_id_b"],
+                            "metric": r["metric"], "w": w,
+                            "side": side, "idx": i, "dist": float(d),
+                        })
+        return pd.DataFrame(rows, columns=[
+            "conv_id_a", "conv_id_b", "metric", "w", "side", "idx", "dist"])
+
+    return pairs.mapInPandas(lambda it: (fn(pdf) for pdf in it), AB_SCHEMA)
+
+
+def cmp_profiles(
+    series: DataFrame, w: int, av: str = "complexity", packed: bool = False,
+) -> DataFrame:
+    """Corrected matrix profile: cmp = mp + (1 − av) · max(mp)
+    (transform.py:15-87; complexity AV transform.py:131-179)."""
+    from matrixprofile_spark.kernels.transform import apply_av
+
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        cols = ["conv_id", "metric", "w", "idx", "cmp"]
+        if _too_short(values, w):
+            return pd.DataFrame(columns=cols).iloc[0:0]
+        prof = apply_av(W.mpx_profile(values, w), av)
+        cmp_arr = prof["cmp"]
+        return pd.DataFrame({
+            "conv_id": key[0], "metric": key[1], "w": w,
+            "idx": np.arange(len(cmp_arr), dtype="int64"), "cmp": cmp_arr,
+        })[cols]
+
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, CMP_SCHEMA)
+
+
+def max_subsequence_windows(
+    series: DataFrame, threshold: float = 0.95, packed: bool = False,
+) -> DataFrame:
+    """Per-series maximum_subsequence window search (skimp.py:246-384):
+    a driver-free variant — the doubling/refine loop runs inside each
+    series' kernel task instead of as a driver loop issuing jobs."""
+    from matrixprofile_spark.kernels.skimp import (
+        NoSolutionPossible,
+        maximum_subsequence,
+    )
+
+    src = series if packed else pack_series(series)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        cols = ["conv_id", "metric", "upper_window"]
+        if len(values) < 16:
+            return pd.DataFrame(columns=cols).iloc[0:0]
+        try:
+            uw = maximum_subsequence(values, threshold=threshold)
+        except NoSolutionPossible:
+            return pd.DataFrame(columns=cols).iloc[0:0]
+        return pd.DataFrame([{
+            "conv_id": key[0], "metric": key[1], "upper_window": int(uw),
+        }])
+
+    return _grouped(src, "conv_id", "metric").applyInPandas(fn, MAXW_SCHEMA)
+
+
+def hierarchical_assignments(
+    pair_dists: DataFrame, t: float, method: str = "single",
+    criterion: str = "distance",
+) -> DataFrame:
+    """Cluster conversations from the distributed pairwise-MPDist table
+    (hierarchical_clustering.py:18-146). The O(m²) linkage itself runs
+    on the driver over the (small) collected condensed matrix — m is
+    the number of SERIES, not points, so this holds at 100 TB too."""
+    from matrixprofile_spark.kernels.cluster import fcluster, linkage
+
+    spark = pair_dists.sparkSession
+    rows = pair_dists.select("conv_id_a", "conv_id_b", "mpdist").collect()
+    ids = sorted({r["conv_id_a"] for r in rows} | {r["conv_id_b"] for r in rows})
+    pos = {c: i for i, c in enumerate(ids)}
+    m = len(ids)
+    y = np.zeros(m * (m - 1) // 2)
+    for r in rows:
+        i, j = sorted((pos[r["conv_id_a"]], pos[r["conv_id_b"]]))
+        y[m * i + j - ((i + 2) * (i + 1)) // 2] = r["mpdist"]
+    Z = linkage(y, method=method)
+    assign = fcluster(Z, t, criterion=criterion)
+    return spark.createDataFrame(
+        [(c, int(a)) for c, a in zip(ids, assign)],
+        "conv_id string, cluster int",
+    )
 
 
 def global_top_discords(discoveries: DataFrame, profiles: DataFrame, k: int = 10) -> DataFrame:

@@ -33,15 +33,25 @@ def get_spark(
     else:
         master = f"local[{cores}]"
         n = cores
-    sp = int(shuffle_partitions or max(8, n))
+    sp = int(shuffle_partitions or max(16, n * 4))
     b = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(sp))
-        .config("spark.default.parallelism", str(sp))
+        .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE right-sizes aggregation shuffles (byte-based). Grouped-KERNEL
+        # stages have O(n²) flops per O(n) bytes, so byte-based coalescing
+        # would fold them into one wave of uneven tasks — those operators
+        # therefore use an explicit repartition-by-num on the group key
+        # (operators/profile.py), which AQE leaves alone.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # sketch rollups aggregate millions of (conv,metric,bucket) groups
+        # with min_by/max_by (ObjectHashAggregate); the default 128-key
+        # in-memory cap silently degrades to sort-based aggregation
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                "10000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # grouped-map Arrow batches: large enough to amortize IPC, small

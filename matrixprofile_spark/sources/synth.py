@@ -92,28 +92,33 @@ _raw AS (
 ),
 _turns AS (
   SELECT i, j,
-    CASE WHEN (i + j) % 10 = 7 THEN 'tool'
-         WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-    trim(repeat('w' || CAST((i * 131 + j * 17) % 97 AS STRING) || ' ',
-                CAST(1 + ((i * 7 + j * 13) % 120) AS INT))) AS text,
     CASE (i * 31 + j * 61) % 5
       WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5 WHEN 3 THEN 30
       ELSE 300 END AS gap_s
   FROM _raw
+),
+_ts AS (
+  -- the window exchange moves only (i, j, gap_s); text/role are built
+  -- AFTER the shuffle so the exchange never carries the payload strings
+  SELECT i, j,
+    CAST({EPOCH0} + i * {CONV_SPACING_S}
+         + SUM(gap_s) OVER (PARTITION BY i ORDER BY j
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS ts_epoch
+  FROM _turns
 )
 SELECT
   'conv-' || lpad(CAST(i AS STRING), 5, '0') AS conv_id,
   CAST(j AS BIGINT) AS turn_idx,
-  role,
-  text,
-  CASE WHEN role = 'tool' THEN
+  CASE WHEN (i + j) % 10 = 7 THEN 'tool'
+       WHEN j % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+  trim(repeat('w' || CAST((i * 131 + j * 17) % 97 AS STRING) || ' ',
+              CAST(1 + ((i * 7 + j * 13) % 120) AS INT))) AS text,
+  CASE WHEN (i + j) % 10 = 7 THEN
     CASE (i + j) % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'code' ELSE 'browse' END
   ELSE NULL END AS tool,
-  CAST({EPOCH0} + i * {CONV_SPACING_S}
-       + SUM(gap_s) OVER (PARTITION BY i ORDER BY j
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       AS BIGINT) AS ts_epoch
-FROM _turns
+  ts_epoch
+FROM _ts
 """.strip()
 
 
