@@ -394,7 +394,8 @@ def _q_mstomp_w16(spark, sf_dir):
     """mSTAMP multidimensional profile (mstomp.py:202-379) over dims
     (token_count, reversed token_count); the reference's multid skip-
     location path is broken (mstomp.py:284 calls a nonexistent core fn),
-    so this engine defines proper semantics → rows-only check."""
+    so this engine defines proper semantics; oracle = 2-dim brute-force
+    sorted-mean SQL."""
     import numpy as np
     import pandas as pd
 
@@ -410,13 +411,85 @@ def _q_mstomp_w16(spark, sf_dir):
         for d in range(prof["mp"].shape[0]):
             for i, dist in enumerate(prof["mp"][d]):
                 if np.isfinite(dist):
+                    r2 = 0.0 if dist < 0.05 else round(float(dist), 2)
                     rows.append({"conv_id": key[0], "dim": d, "idx": i,
-                                 "dist_r2": round(float(dist), 2)})
+                                 "dist_r2": r2})
         return pd.DataFrame(rows, columns=["conv_id", "dim", "idx", "dist_r2"])
 
     return chosen.groupBy("conv_id", "metric").applyInPandas(
         fn, "conv_id string, dim int, idx bigint, dist_r2 double"
     )
+
+
+def _q_prescrimp_w16(spark, sf_dir):
+    """PreSCRIMP anytime approximation (scrimp.py:211-406) at
+    sample_pct=0.5 with per-series crc32 seeds; approximate by design →
+    rows-only check (the exact path is covered by scrimp_exact_w16)."""
+    import numpy as np
+    import pandas as pd
+    import zlib
+
+    from matrixprofile_spark.kernels.scrimp import prescrimp
+
+    chosen = _chosen_token_series(spark, sf_dir)
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        seed = zlib.crc32(f"{key[0]}|{key[1]}".encode()) & 0x7FFFFFFF
+        prof = prescrimp(values, _MPX_W, sample_pct=0.5, random_state=seed)
+        mp = np.asarray(prof["mp"], dtype="d")
+        fin = np.isfinite(mp)
+        return pd.DataFrame({
+            "conv_id": key[0],
+            "idx": np.arange(len(mp), dtype="int64")[fin],
+            "dist_r2": np.round(mp[fin], 2),
+        })
+
+    return chosen.groupBy("conv_id", "metric").applyInPandas(
+        fn, "conv_id string, idx bigint, dist_r2 double"
+    )
+
+
+def _q_profile_json_roundtrip(spark, sf_dir):
+    """read_profiles_json(write_profiles_json(mpx profiles)) — the
+    reference-JSON io layer must preserve every profile value, so the
+    round-tripped table shares the MPX brute-force oracle."""
+    import tempfile
+
+    from matrixprofile_spark.io.json_io import (
+        read_profiles_json,
+        write_profiles_json,
+    )
+
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    path = tempfile.mkdtemp(prefix="mp_spark_json_") + "/profiles"
+    write_profiles_json(prof, path)
+    back = read_profiles_json(spark, path)
+    return back.select(
+        "conv_id", F.posexplode("mp").alias("idx", "dist")
+    ).select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("dist", 2).alias("dist_r2"),
+    )
+
+
+_STREAM_SEQ = [0]
+
+
+def _q_stream_rollup_1m(spark, sf_dir):
+    """raw→1m rollup via Structured Streaming (file source, event-time
+    windows, availableNow trigger); must equal the batch rollup oracle."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import stream_rollup_1m
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    wd = tempfile.mkdtemp(prefix="mp_spark_stream_")
+    ser.write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    return stream_rollup_1m(spark, f"{wd}/src",
+                            query_name=f"stream_r1m_{_STREAM_SEQ[0]}")
 
 
 # -------- training-data pipeline queries (documents / embeddings) --------
@@ -602,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_token_count": _q_series_token_count,
         "turn_rate_1m": _q_turn_rate_1m,
         "rollup_1m": _q_rollup("1m"),
+        "stream_rollup_1m": _q_stream_rollup_1m,
+        "profile_json_roundtrip": _q_profile_json_roundtrip,
+        "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
@@ -697,15 +773,15 @@ _COS_FOLD = (
 )
 
 
-def _w_stats_sql(w: int, name: str) -> str:
-    """Per-window mean/std CTE over `r` for window width w."""
+def _w_stats_sql(w: int, name: str, src: str = "r") -> str:
+    """Per-window mean/std CTE over `src` for window width w."""
     return f"""{name} AS (
   SELECT conv_id, i, mu, sig FROM (
     SELECT conv_id, i,
            avg(value) OVER wnd AS mu,
            stddev_pop(value) OVER wnd AS sig,
            count(*) OVER wnd AS cnt
-    FROM r
+    FROM {src}
     WINDOW wnd AS (PARTITION BY conv_id ORDER BY i
                    ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
   ) WHERE cnt = {w}
@@ -739,7 +815,7 @@ b{tag} AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "dedup_exact": f"""
 WITH {_CORPUS_CTE}
 SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
@@ -1192,6 +1268,62 @@ SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b16
 UNION ALL
 SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b32
 """.strip(),
+        "mstomp_w16": f"""
+WITH {_CHOSEN_CTE},
+nsz AS (SELECT conv_id, count(*) AS n FROM r GROUP BY 1),
+rrev AS (
+  SELECT r.conv_id, (z.n - 1 - r.i) AS i, r.value
+  FROM r JOIN nsz z USING (conv_id)
+),
+{_w_stats_sql(16, "s0", "r")},
+{_w_stats_sql(16, "s1", "rrev")},
+dt0 AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM s0 a JOIN s0 b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > 8
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + 16
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+dt1 AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM s1 a JOIN s1 b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > 8
+  JOIN rrev x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + 16
+  JOIN rrev y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+dd0 AS (
+  SELECT d.conv_id, d.i, d.j,
+    sqrt(greatest(2 * (16 - (d.qt - 16 * sa.mu * sb.mu)
+                       / (sa.sig * sb.sig)), 0)) AS dist
+  FROM dt0 d
+  JOIN s0 sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN s0 sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  WHERE sa.sig > 0 AND sb.sig > 0
+),
+dd1 AS (
+  SELECT d.conv_id, d.i, d.j,
+    sqrt(greatest(2 * (16 - (d.qt - 16 * sa.mu * sb.mu)
+                       / (sa.sig * sb.sig)), 0)) AS dist
+  FROM dt1 d
+  JOIN s1 sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN s1 sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  WHERE sa.sig > 0 AND sb.sig > 0
+),
+dims2 AS (
+  SELECT a.conv_id, a.i, a.j, a.dist AS e0, b.dist AS e1
+  FROM dd0 a JOIN dd1 b ON a.conv_id = b.conv_id AND a.i = b.i AND a.j = b.j
+),
+prof AS (
+  SELECT conv_id, 0 AS dim, i AS idx, min(least(e0, e1)) AS dist
+  FROM dims2 GROUP BY 1, 3
+  UNION ALL
+  SELECT conv_id, 1 AS dim, i AS idx, min((e0 + e1) / 2) AS dist
+  FROM dims2 GROUP BY 1, 3
+)
+SELECT conv_id, CAST(dim AS INTEGER) AS dim, idx,
+       CASE WHEN dist < 0.05 THEN 0.0 ELSE round(dist, 2) END AS dist_r2
+FROM prof
+""".strip(),
         "pairwise_mpdist": f"""
 WITH {_CHOSEN_CTE},
 {_w_stats_sql(8, "st8")},
@@ -1322,6 +1454,15 @@ SELECT conv_id, 'turn_rate' AS metric,
 FROM b
 """.strip(),
         "rollup_1m": _rollup_oracle(60),
+        "stream_rollup_1m": f"""
+WITH {_SERIES_CTE}
+SELECT conv_id, metric,
+       CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+       count(value) AS cnt, sum(value) AS vsum, min(value) AS vmin,
+       max(value) AS vmax, sum(value * value) AS sum_sq
+FROM series WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+GROUP BY 1, 2, 3
+""".strip(),
         "rollup_1h": _rollup_oracle(3600),
         "rollup_1d": _rollup_oracle(86400),
         "rollup_1h_stats": f"""
@@ -1431,3 +1572,7 @@ FROM r1d, now_t
 WHERE bucket_epoch < now - {_KEEP_1H}
 """.strip(),
     }
+    # the JSON io layer must be value-preserving: the round-tripped MPX
+    # profile shares the brute-force oracle verbatim
+    out["profile_json_roundtrip"] = out["mpx_w16"]
+    return out

@@ -1,0 +1,143 @@
+"""Spark-parity tests for the round-2 operators: AB-join, AV transform,
+maximum_subsequence, hierarchical clustering, JSON io, streaming rollup."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofile_spark.kernels import workflows as W
+from matrixprofile_spark.kernels.mpx import mpx_ab_join
+from matrixprofile_spark.kernels.transform import apply_av
+from matrixprofile_spark.operators import profile as P
+from matrixprofile_spark.operators import rollup
+
+
+def _series_df(spark, arrays: dict[str, np.ndarray]):
+    rows = []
+    for cid, v in arrays.items():
+        for i, x in enumerate(v):
+            rows.append((cid, "m", i, float(i), float(x)))
+    return spark.createDataFrame(
+        rows, "conv_id string, metric string, idx long, ts_epoch double, value double"
+    )
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    rng = np.random.default_rng(7)
+    base = np.sin(np.arange(200) * 0.3)
+    return {
+        "a": base + rng.normal(0, 0.1, 200),
+        "b": np.cos(np.arange(180) * 0.2) + rng.normal(0, 0.1, 180),
+        "c": base + rng.normal(0, 0.1, 200),  # near-duplicate of a
+    }
+
+
+def test_ab_join_pairs_matches_kernel(spark, arrays):
+    pairs = spark.createDataFrame(
+        [("a", "b", "m", arrays["a"].tolist(), arrays["b"].tolist())],
+        "conv_id_a string, conv_id_b string, metric string, "
+        "values_a array<double>, values_b array<double>",
+    )
+    out = P.ab_join_pairs(pairs, 16).toPandas()
+    mp, _, mpb, _ = mpx_ab_join(arrays["a"], arrays["b"], 16)
+    got_a = out[out.side == "a"].sort_values("idx")["dist"].to_numpy()
+    got_b = out[out.side == "b"].sort_values("idx")["dist"].to_numpy()
+    np.testing.assert_allclose(got_a, mp[np.isfinite(mp)], atol=1e-9)
+    np.testing.assert_allclose(got_b, mpb[np.isfinite(mpb)], atol=1e-9)
+
+
+def test_cmp_profiles_matches_kernel(spark, arrays):
+    ser = _series_df(spark, {"a": arrays["a"]})
+    out = (
+        P.cmp_profiles(ser, 16, av="complexity")
+        .toPandas().sort_values("idx")["cmp"].to_numpy()
+    )
+    ref = apply_av(W.mpx_profile(arrays["a"], 16), "complexity")["cmp"]
+    np.testing.assert_allclose(out, ref, atol=1e-9)
+
+
+def test_max_subsequence_windows(spark, arrays):
+    from matrixprofile_spark.kernels.skimp import maximum_subsequence
+
+    ser = _series_df(spark, {"a": arrays["a"]})
+    out = P.max_subsequence_windows(ser, threshold=0.7).collect()
+    assert len(out) == 1
+    assert out[0]["upper_window"] == maximum_subsequence(
+        arrays["a"], threshold=0.7
+    )
+
+
+def test_hierarchical_assignments_groups_duplicates(spark, arrays):
+    ser = _series_df(spark, arrays)
+    pd_ = P.pairwise_mpdist(ser, 8, metric="m")
+    out = {r["conv_id"]: r["cluster"]
+           for r in P.hierarchical_assignments(pd_, t=2, criterion="maxclust").collect()}
+    assert out["a"] == out["c"]  # near-duplicates cluster together
+    assert out["a"] != out["b"]
+
+
+def test_json_roundtrip_preserves_profiles(spark, arrays):
+    from matrixprofile_spark.io.json_io import (
+        read_profiles_json,
+        write_profiles_json,
+    )
+
+    ser = _series_df(spark, {"a": arrays["a"], "b": arrays["b"]})
+    prof = P.mpx_profiles(ser, 16)
+    path = tempfile.mkdtemp(prefix="t_json_") + "/p"
+    write_profiles_json(prof, path)
+    back = read_profiles_json(spark, path)
+    a = {r["conv_id"]: r["mp"] for r in prof.collect()}
+    b = {r["conv_id"]: r["mp"] for r in back.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]))
+
+
+def test_json_ref_dict_shape(spark, arrays):
+    from matrixprofile_spark.io.json_io import (
+        from_json,
+        profile_row_to_dict,
+        to_json,
+    )
+
+    ser = _series_df(spark, {"a": arrays["a"]})
+    row = P.mpx_profiles(ser, 16).collect()[0]
+    d = profile_row_to_dict(row)
+    back = from_json(to_json(d))
+    assert back["class"] == "MatrixProfile"
+    assert back["w"] == 16 and back["algorithm"] == "mpx"
+    np.testing.assert_allclose(back["mp"], np.asarray(row["mp"]))
+
+
+def test_stream_rollup_matches_batch(spark, arrays):
+    from matrixprofile_spark.streaming.structured import stream_rollup_1m
+
+    ser = _series_df(spark, arrays).withColumn(
+        "ts_epoch", (F.col("idx") * 7).cast("long")
+    )
+    wd = tempfile.mkdtemp(prefix="t_stream_")
+    ser.write.mode("overwrite").parquet(f"{wd}/src")
+    got = (
+        stream_rollup_1m(spark, f"{wd}/src", query_name="t_stream_r1m")
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_epoch"])
+        .reset_index(drop=True)
+    )
+    want = (
+        rollup.rollup_from_raw(ser, 60)
+        .drop("vfirst", "vlast")
+        .toPandas()
+        .sort_values(["conv_id", "metric", "bucket_epoch"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["vsum"].to_numpy(), want["vsum"].to_numpy(), atol=1e-9
+    )
+    assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
