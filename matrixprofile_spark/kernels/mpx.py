@@ -105,6 +105,7 @@ def mpx_self_join(
     # reusable corr buffer: B rows × (C + B) cols; the last B columns are
     # a permanent -inf apron read by the sheared anti-diagonal view
     corr = np.full((B, C + B), -np.inf)
+    tmp = np.empty((B, C))
     E = corr.strides[1]
     R = corr.strides[0]
 
@@ -122,8 +123,10 @@ def mpx_self_join(
             # along each diagonal via a carried prefix sum
             DG = as_strided(dgp[d0 + o0 :], shape=(b, cw), strides=(E, E))
             DF = as_strided(dfp[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            tsub = tmp[:b, :cw]
             np.multiply(DG, df[None, o0 : o0 + cw], out=sub)
-            sub += DF * dg[None, o0 : o0 + cw]
+            np.multiply(DF, dg[None, o0 : o0 + cw], out=tsub)
+            sub += tsub
             np.cumsum(sub, axis=1, out=sub)
             sub += carry[:, None]
             # carry covariance into the next tile BEFORE the corr scaling
@@ -143,27 +146,29 @@ def mpx_self_join(
             prev_cw = cw
 
             # --- col-row (anti-diagonal) updates first: they read the
-            # pre-tile state in the reference's scan order ---
+            # pre-tile state in the reference's scan order. max first,
+            # argmax only over columns that actually beat the running
+            # profile (rare once it converges) ---
             aw = min(cw + b, pl - d0 - o0)  # j = d0+o0+c must stay < pl
             anti = as_strided(corr, shape=(b, aw), strides=(R - E, E))
-            cb_r = np.argmax(anti, axis=0)
-            cb = anti[cb_r, np.arange(aw)]
+            cb = np.max(anti, axis=0)
             j0 = d0 + o0
-            valid = cb > -np.inf
-            cols = np.nonzero(valid)[0]
-            cbv = cb[cols]
-            upd = cbv > mp[j0 + cols]
-            jj = j0 + cols[upd]
-            mp[jj] = np.minimum(cbv[upd], 1.0)
-            mpi[jj] = o0 + cols[upd] - cb_r[cols][upd]
+            upd = cb > mp[j0 : j0 + aw]
+            if upd.any():
+                cols = np.nonzero(upd)[0]
+                cb_r = np.argmax(anti[:, cols], axis=0)
+                jj = j0 + cols
+                mp[jj] = np.minimum(cb[cols], 1.0)
+                mpi[jj] = o0 + cols - cb_r
 
             # --- offset-side updates ---
-            best_r = np.argmax(sub, axis=0)
-            best = sub[best_r, np.arange(cw)]
+            best = np.max(sub, axis=0)
             upd2 = best > mp[o0 : o0 + cw]
-            tgt = np.nonzero(upd2)[0]
-            mp[o0 + tgt] = best[upd2]
-            mpi[o0 + tgt] = tgt + o0 + d0 + best_r[upd2]
+            if upd2.any():
+                tgt = np.nonzero(upd2)[0]
+                best_r = np.argmax(sub[:, tgt], axis=0)
+                mp[o0 + tgt] = best[tgt]
+                mpi[o0 + tgt] = tgt + o0 + d0 + best_r
         # reset the written region for the next block
         corr[:b, :prev_cw] = -np.inf
 

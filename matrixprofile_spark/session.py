@@ -58,6 +58,11 @@ def get_spark(
         # enough to never blow a python worker at 100 TB partition sizes
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # single-disk sandbox: concurrent shuffle/spill writers serialize
+        # on /tmp; RAM-backed local dirs restore write parallelism (a real
+        # cluster uses per-executor local NVMe for the same reason)
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
+                                                  "/dev/shm/spark-local"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
