@@ -241,11 +241,15 @@ def mpx_ab_join(
 
 
 def _ab_one_side(
-    a: np.ndarray, bq: np.ndarray, w: int, block: int
+    a: np.ndarray, bq: np.ndarray, w: int, block: int, tile: int = _TILE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Diagonals starting at every offset of `a` vs `bq` (AB block of
     cympx.pyx:194-214). Returns partials in correlation space:
     (profile over a, its indices into bq, profile over bq, indices into a).
+
+    Same cache-tiled layout as the self-join: diagonal blocks × column
+    tiles with carried covariance; the a-side (anti-diagonal) reduction
+    reads the corr buffer through a sheared as_strided view.
     """
     pla = len(a) - w + 1
     plb = len(bq) - w + 1
@@ -259,45 +263,72 @@ def _ab_one_side(
     mpb = np.full(plb, -1.0)
     mpib = np.full(plb, -1, dtype=np.int64)
 
-    dfap = np.concatenate((dfa, np.zeros(block)))
-    dgap = np.concatenate((dga, np.zeros(block)))
-    sigap = np.concatenate((siga, np.zeros(block)))
+    B, C = block, tile
+    pad = np.zeros(B + C)
+    dfap = np.concatenate((dfa, pad))
+    dgap = np.concatenate((dga, pad))
+    sigap = np.concatenate((siga, pad))
     q0 = bq[:w] - mub[0]
 
-    for d0 in range(0, pla, block):
-        b = min(block, pla - d0)
-        m0 = min(plb, pla - d0)
+    corr = np.full((B, C + B), -np.inf)
+    tmp = np.empty((B, C))
+    E = corr.strides[1]
+    R = corr.strides[0]
+
+    for d0 in range(0, pla, B):
+        b = min(B, pla - d0)
+        m0 = min(plb, pla - d0)  # widest diagonal (row 0) in this block
         if m0 <= 0:
             break
         idx = np.arange(w)[None, :] + np.arange(d0, d0 + b)[:, None]
-        c0 = (a[idx] - mua[d0 : d0 + b, None]) @ q0
-        DGA = _shifted_view(dgap, d0, b, m0)
-        DFA = _shifted_view(dfap, d0, b, m0)
-        terms = DFA * dgb[None, :m0] + DGA * dfb[None, :m0]
-        cov = np.cumsum(terms, axis=1)
-        cov += c0[:, None]
-        corr = cov * sigb[None, :m0] * _shifted_view(sigap, d0, b, m0)
-        r = np.arange(b)[:, None]
-        o = np.arange(m0)[None, :]
-        # diagonal r is valid while offset j < min(plb, pla-(d0+r))
-        corr[o + r + d0 >= pla] = -np.inf
+        carry = (a[idx] - mua[d0 : d0 + b, None]) @ q0
+        prev_cw = C
+        for o0 in range(0, m0, C):
+            cw = min(C, m0 - o0)
+            sub = corr[:b, :cw]
+            DGA = as_strided(dgap[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            DFA = as_strided(dfap[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            tsub = tmp[:b, :cw]
+            np.multiply(DFA, dgb[None, o0 : o0 + cw], out=sub)
+            np.multiply(DGA, dfb[None, o0 : o0 + cw], out=tsub)
+            sub += tsub
+            np.cumsum(sub, axis=1, out=sub)
+            sub += carry[:, None]
+            if o0 + cw < m0:
+                carry = sub[:, cw - 1].copy()
+            np.multiply(sub, sigb[None, o0 : o0 + cw], out=sub)
+            sub *= as_strided(sigap[d0 + o0 :], shape=(b, cw), strides=(E, E))
+            # row r valid while offset j < min(plb, pla-(d0+r)):
+            # the plb bound is the tile loop itself; mask the pla bound
+            vstart = pla - d0 - o0  # row 0's a-side remaining width
+            if vstart < cw + b:
+                for r in range(max(0, vstart - cw), b):
+                    corr[r, max(vstart - r, 0) : cw] = -np.inf
+            if cw < prev_cw:
+                corr[:b, cw:prev_cw] = -np.inf
+            prev_cw = cw
 
-        # b-side rows (offset j of bq): argmax over block diagonals
-        best_r = np.argmax(corr, axis=0)
-        best = corr[best_r, np.arange(m0)]
-        updb = best > mpb[:m0]
-        mpb[:m0][updb] = best[updb]
-        mpib[:m0][updb] = np.nonzero(updb)[0] + d0 + best_r[updb]
-        # a-side rows k = j + d0 + r: anti-diagonal gather
-        anti = np.full((b, m0 + b), -np.inf)
-        anti[r, o + r] = corr
-        cb_r = np.argmax(anti, axis=0)
-        cols = np.arange(m0 + b)
-        cb = anti[cb_r, cols]
-        valid = cb > -np.inf
-        k = cols[valid] + d0
-        upd = cb[valid] > mpa[k]
-        kk = k[upd]
-        mpa[kk] = cb[valid][upd]
-        mpia[kk] = cols[valid][upd] - cb_r[valid][upd]
+            # --- b-side updates first (original AB scan order) ---
+            best = np.max(sub, axis=0)
+            updb = best > mpb[o0 : o0 + cw]
+            if updb.any():
+                tgt = np.nonzero(updb)[0]
+                best_r = np.argmax(sub[:, tgt], axis=0)
+                mpb[o0 + tgt] = best[tgt]
+                mpib[o0 + tgt] = tgt + o0 + d0 + best_r
+
+            # --- a-side (anti-diagonal) updates ---
+            aw = min(cw + b, pla - d0 - o0)
+            if aw > 0:
+                anti = as_strided(corr, shape=(b, aw), strides=(R - E, E))
+                cb = np.max(anti, axis=0)
+                k0 = d0 + o0
+                upd = cb > mpa[k0 : k0 + aw]
+                if upd.any():
+                    cols = np.nonzero(upd)[0]
+                    cb_r = np.argmax(anti[:, cols], axis=0)
+                    kk = k0 + cols
+                    mpa[kk] = cb[cols]
+                    mpia[kk] = o0 + cols - cb_r
+        corr[:b, :prev_cw] = -np.inf
     return mpa, mpia, mpb, mpib
