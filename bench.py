@@ -172,6 +172,29 @@ def probe_job(cores: int) -> dict:
         import shutil
         import tempfile
 
+        # isolate the interpreted-ObjectHashAggregate cost: the same 1m
+        # rollup with only codegen-able primitive sketch columns (no
+        # min_by/max_by first/last) — this is the scaling the cascade
+        # reaches when the sketch stays inside whole-stage codegen
+        from pyspark.sql import functions as F
+
+        v = F.col("value")
+        prim = (
+            ser.where(v.isNotNull())
+            .groupBy("conv_id", "metric",
+                     (F.floor(F.col("ts_epoch") / 60) * 60).alias("b"))
+            .agg(F.count(v).alias("cnt"), F.sum(v).alias("vsum"),
+                 F.min(v).alias("vmin"), F.max(v).alias("vmax"),
+                 F.sum(v * v).alias("ssq"))
+        )
+        force(prim)  # warm
+        t_prim = None
+        for _ in range(2):
+            t0 = time.time()
+            force(prim)
+            dt = time.time() - t0
+            t_prim = dt if t_prim is None else min(t_prim, dt)
+
         tier_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         t_cascade = None
         for _ in range(2):
@@ -205,6 +228,7 @@ def probe_job(cores: int) -> dict:
         return {
             "cores": cores,
             "cascade_sec": round(t_cascade, 3),
+            "cascade_codegen_1m_sec": round(t_prim, 3),
             "cascade_points": n_points,
             "mpx_sec": round(t_mpx, 3),
             "mpx_points": PROBE_SERIES * PROBE_LEN,
@@ -315,6 +339,10 @@ def main_bench() -> dict:
                     (lo["mpx_sec"] / hi["mpx_sec"]) / ratio, 3),
                 "efficiency_cascade": round(
                     (lo["cascade_sec"] / hi["cascade_sec"]) / ratio, 3),
+                "efficiency_cascade_codegen": round(
+                    (lo.get("cascade_codegen_1m_sec", 0)
+                     / max(hi.get("cascade_codegen_1m_sec", 1), 1e-9))
+                    / ratio, 3),
                 "probe": {"series": PROBE_SERIES, "len": PROBE_LEN,
                           "cascade_series": PROBE_CASCADE_SERIES,
                           "cascade_len": PROBE_CASCADE_LEN},
