@@ -95,8 +95,10 @@ def make_spark(cores: int, app: str):
         # shuffle/spill on RAM-backed storage: this box's single disk
         # serializes concurrent writers (63s vs 8s for a 16-way parquet
         # write); a real cluster would use per-executor local NVMe
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
-                                                  "/dev/shm/spark-local"))
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         # keep NumPy/BLAS single-threaded inside Python workers so Spark
         # task parallelism is the only parallelism (clean scaling law)
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")

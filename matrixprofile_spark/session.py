@@ -61,8 +61,10 @@ def get_spark(
         # single-disk sandbox: concurrent shuffle/spill writers serialize
         # on /tmp; RAM-backed local dirs restore write parallelism (a real
         # cluster uses per-executor local NVMe for the same reason)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS",
-                                                  "/dev/shm/spark-local"))
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS",
+                               "/dev/shm/spark-local"
+                               if os.path.isdir("/dev/shm") else "/tmp"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
