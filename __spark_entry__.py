@@ -305,6 +305,19 @@ def _q_stomp_left_w16(spark, sf_dir):
     )
 
 
+def _q_stomp_right_w16(spark, sf_dir):
+    """STOMP right profile rmp: nearest neighbor among j ≥ i + ez + 1
+    only (reference golden contract /root/reference/tests/
+    test_stomp.py:38-58); +inf edges dropped on both sides."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    e = prof.select("conv_id", F.posexplode("rmp").alias("idx", "dist"))
+    return _finite(e).select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        _floor_round("dist").alias("dist_r2"),
+    )
+
+
 def _q_scrimp_exact_w16(spark, sf_dir):
     """SCRIMP++ at sample_pct=1.0 — all diagonals visited, so the result
     is exact and shares the MPX brute-force oracle."""
@@ -351,6 +364,29 @@ def _q_av_cmp_w16(spark, sf_dir):
     (transform.py:131-179 + apply_av 15-87)."""
     chosen = _chosen_token_series(spark, sf_dir)
     out = P.cmp_profiles(chosen, _MPX_W, av="complexity", packed=True)
+    return out.select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("cmp", 2).alias("cmp_r2"),
+    )
+
+
+def _q_av_meanstd_w16(spark, sf_dir):
+    """Corrected MP under the meanstd annotation vector
+    (transform.py:182-227: av = 1 where moving_std < mean(moving_std))."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    out = P.cmp_profiles(chosen, _MPX_W, av="meanstd", packed=True)
+    return out.select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("cmp", 2).alias("cmp_r2"),
+    )
+
+
+def _q_av_clipping_w16(spark, sf_dir):
+    """Corrected MP under the clipping annotation vector
+    (transform.py:230-285: windowed count of global-min/max hits,
+    min-shifted and max-normalized, inverted)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    out = P.cmp_profiles(chosen, _MPX_W, av="clipping", packed=True)
     return out.select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
         F.round("cmp", 2).alias("cmp_r2"),
@@ -656,9 +692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mass2_w16": _q_mass2_w16,
         "stomp_w16": _q_stomp_w16,
         "stomp_left_w16": _q_stomp_left_w16,
+        "stomp_right_w16": _q_stomp_right_w16,
         "scrimp_exact_w16": _q_scrimp_exact_w16,
         "ab_join_w16": _q_ab_join_w16,
         "av_cmp_w16": _q_av_cmp_w16,
+        "av_meanstd_w16": _q_av_meanstd_w16,
+        "av_clipping_w16": _q_av_clipping_w16,
         "moving_median_w8": _q_moving_median_w8,
         "max_subsequence": _q_max_subsequence,
         "hcluster_assign": _q_hcluster_assign,
@@ -996,6 +1035,70 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
        round(cos, 4) AS cos_r4
 FROM r WHERE rank <= 5
 """.strip(),
+        "ann_lsh_buckets": """
+WITH ex AS (
+  SELECT vec_id AS id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) r(i)
+),
+sums AS (
+  SELECT id, p.plane,
+         sum(CASE WHEN CAST(('0x' || substr(md5(
+                      CAST(p.plane AS VARCHAR) || ',' || CAST(pos AS VARCHAR)
+                    ), 1, 15)) AS UBIGINT) % 2 = 0
+                  THEN v ELSE -v END) AS dot
+  FROM ex, range(0, 8) p(plane) GROUP BY 1, 2
+)
+SELECT id, CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS bucket
+FROM sums GROUP BY id
+""".strip(),
+        "salted_mpx_hot": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+hot AS (SELECT conv_id FROM sizes WHERE n >= 1024),
+r AS (
+  SELECT t.conv_id,
+         CAST(row_number() OVER (PARTITION BY t.conv_id ORDER BY idx) - 1
+              AS BIGINT) AS i,
+         value
+  FROM tok t JOIN hot USING (conv_id)
+),
+{_w_stats_sql(32, "st32h")},
+-- O(n^2) instead of O(n^2 w): per-diagonal sliding window sum of the
+-- element products gives every window dot product
+prods AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i - x.i > 8
+),
+qt AS (
+  SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+  FROM prods
+  WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND 31 FOLLOWING)
+),
+corr AS (
+  SELECT q.conv_id, q.i, q.i + q.d AS j,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (q.qt - 32 * sa.mu * sb.mu) / (32 * sa.sig * sb.sig) END AS c
+  FROM qt q
+  JOIN st32h sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN st32h sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
+  WHERE q.cnt = 32
+),
+bothsides AS (
+  SELECT conv_id, i AS idx, c FROM corr
+  UNION ALL
+  SELECT conv_id, j AS idx, c FROM corr
+),
+best AS (SELECT conv_id, idx, max(c) AS cmax FROM bothsides GROUP BY 1, 2)
+SELECT conv_id, idx,
+       round(sqrt(2 * 32 * (1 - least(cmax, 1.0))), 2) AS dist_r2
+FROM best
+""".strip(),
         "segment_roundtrip": f"""
 WITH {_SERIES_CTE}
 SELECT conv_id, metric, ts_epoch, value FROM series
@@ -1140,6 +1243,30 @@ SELECT conv_id, i AS idx,
             ELSE round(sqrt(min(dsq)), 2) END AS dist_r2
 FROM (SELECT conv_id, i, greatest(dsq, 0) AS dsq FROM dist) GROUP BY 1, 2
 """.strip(),
+        "stomp_right_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND b.i > a.i + {_STOMP_EZ}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+dist AS (
+  SELECT d.conv_id, d.i,
+    2 * ({_MPX_W} - (d.qt - {_MPX_W} * sa.mu * sb.mu)
+         / (sa.sig * sb.sig)) AS dsq
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  WHERE sa.sig > 0 AND sb.sig > 0
+)
+SELECT conv_id, i AS idx,
+       CASE WHEN sqrt(greatest(min(dsq), 0)) < 0.05 THEN 0.0
+            ELSE round(sqrt(min(dsq)), 2) END AS dist_r2
+FROM (SELECT conv_id, i, greatest(dsq, 0) AS dsq FROM dist) GROUP BY 1, 2
+""".strip(),
         "scrimp_exact_w16": f"""
 WITH {_CHOSEN_CTE},
 dots AS (
@@ -1249,6 +1376,56 @@ avn AS (
          ELSE (av - min(av) OVER (PARTITION BY conv_id))
               / max(av) OVER (PARTITION BY conv_id) END AS a
   FROM avp
+)
+SELECT mp.conv_id, mp.idx,
+       round(mp.dist + (1 - avn.a)
+             * max(mp.dist) OVER (PARTITION BY mp.conv_id), 2) AS cmp_r2
+FROM mp JOIN avn ON avn.conv_id = mp.conv_id AND avn.i = mp.idx
+""".strip(),
+        "av_meanstd_w16": f"""
+WITH {_CHOSEN_CTE},
+{_mpx_block_sql(_MPX_W, "sub", "ms")},
+mp AS (
+  SELECT conv_id, i AS idx, sqrt(2 * {_MPX_W} * (1 - least(max(c), 1.0))) AS dist
+  FROM cms GROUP BY 1, 2
+),
+msig AS (SELECT conv_id, avg(sig) AS mean_sig FROM sub GROUP BY 1),
+avn AS (
+  SELECT s.conv_id, s.i,
+         CASE WHEN s.sig < m.mean_sig THEN 1.0 ELSE 0.0 END AS a
+  FROM sub s JOIN msig m USING (conv_id)
+)
+SELECT mp.conv_id, mp.idx,
+       round(mp.dist + (1 - avn.a)
+             * max(mp.dist) OVER (PARTITION BY mp.conv_id), 2) AS cmp_r2
+FROM mp JOIN avn ON avn.conv_id = mp.conv_id AND avn.i = mp.idx
+""".strip(),
+        "av_clipping_w16": f"""
+WITH {_CHOSEN_CTE},
+{_mpx_block_sql(_MPX_W, "sub", "cl")},
+mp AS (
+  SELECT conv_id, i AS idx, sqrt(2 * {_MPX_W} * (1 - least(max(c), 1.0))) AS dist
+  FROM ccl GROUP BY 1, 2
+),
+gl AS (SELECT conv_id, max(value) AS gmax, min(value) AS gmin FROM r GROUP BY 1),
+clw AS (
+  SELECT r.conv_id, r.i,
+         sum(CASE WHEN r.value = g.gmax OR r.value = g.gmin
+                  THEN 1.0 ELSE 0.0 END) OVER wnd AS s,
+         count(*) OVER wnd AS cnt
+  FROM r JOIN gl g USING (conv_id)
+  WINDOW wnd AS (PARTITION BY r.conv_id ORDER BY r.i
+                 ROWS BETWEEN CURRENT ROW AND {_MPX_W - 1} FOLLOWING)
+),
+avr AS (
+  SELECT conv_id, i, s - min(s) OVER (PARTITION BY conv_id) AS a
+  FROM clw WHERE cnt = {_MPX_W}
+),
+avn AS (
+  SELECT conv_id, i,
+         CASE WHEN max(a) OVER (PARTITION BY conv_id) = 0 THEN 0.0
+              ELSE 1 - a / max(a) OVER (PARTITION BY conv_id) END AS a
+  FROM avr
 )
 SELECT mp.conv_id, mp.idx,
        round(mp.dist + (1 - avn.a)
