@@ -204,7 +204,7 @@ def _q_discords(spark, sf_dir):
 def _q_motifs(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
-    disc = P.with_discoveries(prof, chosen, packed=True)
+    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4)
     return disc.select(
         "conv_id", "metric",
         F.posexplode("motif_pairs").alias("rank", "pair"),
@@ -851,6 +851,152 @@ b{tag} AS (
          round(sqrt(2 * {w} * (1 - least(max(c), 1.0))), 2) AS dist_r2
   FROM c{tag} GROUP BY 1, 3
 )"""
+
+
+def _motifs_oracle_sql(k: int = 3, max_neighbors: int = 10,
+                       radius: int = 3) -> str:
+    """DuckDB twin of top_k_motifs (reference top_k_motifs.py:174-314)
+    as a generated chain of suppression CTEs.
+
+    Round r: argmin over the masked profile → (first, second) from the
+    profile index → MASS distance profile of window `first` (all-pairs
+    dot products via the O(n²) per-diagonal window-sum trick) → exclusion
+    zones ([c-ez, c+ez] inclusive, core.py:580-587) at first/second and
+    at every accepted neighbor (nd ≤ radius·min_dist, up to
+    max_neighbors), masking both dp and the carried profile. An invalid
+    neighbor pick leaves the mask unchanged, so every later pick repeats
+    it and stays invalid — the SQL equivalent of the kernel's `break`."""
+    w, ez, minlag = _MPX_W, 4, _MPX_MINLAG
+    parts = [f"""WITH {_CHOSEN_CTE},
+prods AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i >= x.i
+),
+qtall AS MATERIALIZED (
+  SELECT conv_id, d, i, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM prods
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+  ) WHERE cnt = {w}
+),
+corr0 AS (
+  SELECT q.conv_id, q.i, q.i + q.d AS j, q.d,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (q.qt - {w} * sa.mu * sb.mu)
+              / ({w} * sa.sig * sb.sig) END AS c
+  FROM qtall q
+  JOIN sub sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN sub sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
+  WHERE q.d > {minlag}
+),
+cboth AS MATERIALIZED (
+  SELECT conv_id, i AS idx, j AS nbr, d, c FROM corr0
+  UNION ALL
+  SELECT conv_id, j AS idx, i AS nbr, d, c FROM corr0
+),
+mp0 AS MATERIALIZED (
+  -- zero_eps clamp (see kernels.discover.top_k_motifs): true-zero
+  -- distances computed as 0 ± ~1e-7 collapse to exactly 0 on both sides
+  SELECT conv_id, idx,
+         CASE WHEN d0 < 1e-4 THEN 0.0 ELSE d0 END AS dist
+  FROM (
+    SELECT conv_id, idx, sqrt(2 * {w} * (1 - least(max(c), 1.0))) AS d0
+    FROM cboth GROUP BY 1, 2
+  )
+),
+pi0 AS MATERIALIZED (
+  SELECT conv_id, idx AS i, nbr AS j FROM (
+    SELECT conv_id, idx, nbr, row_number() OVER
+      (PARTITION BY conv_id, idx ORDER BY c DESC, d ASC, nbr ASC) AS rn
+    FROM cboth
+  ) WHERE rn = 1
+),
+pairsq AS (
+  SELECT conv_id, i AS iq, i + d AS jt, qt FROM qtall
+  UNION ALL
+  SELECT conv_id, i + d AS iq, i AS jt, qt FROM qtall WHERE d > 0
+),
+massd AS (
+  SELECT conv_id, iq, jt,
+         CASE WHEN d0 < 1e-4 THEN 0.0 ELSE d0 END AS dist
+  FROM (
+    SELECT p.conv_id, p.iq, p.jt,
+      sqrt(greatest(
+        CASE WHEN st.sig < 1e-10 AND sq.sig < 1e-10 THEN 0.0
+             WHEN st.sig < 1e-10 THEN CAST({w} AS DOUBLE)
+             ELSE 2 * ({w} - (p.qt - {w} * st.mu * sq.mu)
+                  / (CASE WHEN st.sig * sq.sig = 0 THEN 1e-12
+                          ELSE st.sig * sq.sig END)) END, 0.0)) AS d0
+    FROM pairsq p
+    JOIN sub st ON st.conv_id = p.conv_id AND st.i = p.jt
+    JOIN sub sq ON sq.conv_id = p.conv_id AND sq.i = p.iq
+  )
+),
+cm0 AS (SELECT '' AS conv_id, CAST(NULL AS BIGINT) AS c WHERE 1 = 0)"""]
+    for rnd in range(1, k + 1):
+        prev_cm = f"cm{rnd - 1}"
+        parts.append(f""",
+mps{rnd} AS (
+  SELECT m.conv_id, m.idx, m.dist FROM mp0 m
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_cm} c WHERE c.conv_id = m.conv_id
+                    AND m.idx BETWEEN c.c - {ez} AND c.c + {ez})
+),
+pk{rnd} AS (
+  SELECT conv_id, idx AS mi, dist AS md FROM (
+    SELECT conv_id, idx, dist, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist ASC, idx ASC) AS rn FROM mps{rnd}
+  ) WHERE rn = 1
+),
+fs{rnd} AS MATERIALIZED (
+  SELECT p.conv_id, least(p.mi, q.j) AS f, greatest(p.mi, q.j) AS s, p.md
+  FROM pk{rnd} p JOIN pi0 q ON q.conv_id = p.conv_id AND q.i = p.mi
+),
+dp{rnd} AS MATERIALIZED (
+  SELECT d.conv_id, d.jt AS idx, d.dist
+  FROM massd d JOIN fs{rnd} f ON f.conv_id = d.conv_id AND d.iq = f.f
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_cm} c WHERE c.conv_id = d.conv_id
+                    AND d.jt BETWEEN c.c - {ez} AND c.c + {ez})
+    AND NOT (d.jt BETWEEN f.f - {ez} AND f.f + {ez})
+    AND NOT (d.jt BETWEEN f.s - {ez} AND f.s + {ez})
+),
+ncs{rnd}_0 AS (SELECT '' AS conv_id, CAST(NULL AS BIGINT) AS c WHERE 1 = 0)""")
+        for i in range(1, max_neighbors + 1):
+            parts.append(f""",
+nb{rnd}_{i} AS (
+  SELECT conv_id, idx AS nb, dist AS nd FROM (
+    SELECT d.conv_id, d.idx, d.dist, row_number() OVER
+      (PARTITION BY d.conv_id ORDER BY d.dist ASC, d.idx ASC) AS rn
+    FROM dp{rnd} d
+    WHERE NOT EXISTS (SELECT 1 FROM ncs{rnd}_{i - 1} c
+                      WHERE c.conv_id = d.conv_id
+                      AND d.idx BETWEEN c.c - {ez} AND c.c + {ez})
+  ) WHERE rn = 1
+),
+nv{rnd}_{i} AS (
+  SELECT n.conv_id, n.nb FROM nb{rnd}_{i} n
+  JOIN fs{rnd} f ON f.conv_id = n.conv_id
+  WHERE n.nd <= {radius} * f.md
+),
+ncs{rnd}_{i} AS MATERIALIZED (
+  SELECT conv_id, c FROM ncs{rnd}_{i - 1}
+  UNION ALL SELECT conv_id, nb AS c FROM nv{rnd}_{i}
+)""")
+        parts.append(f""",
+cm{rnd} AS MATERIALIZED (
+  SELECT conv_id, c FROM {prev_cm}
+  UNION ALL SELECT conv_id, f AS c FROM fs{rnd}
+  UNION ALL SELECT conv_id, s AS c FROM fs{rnd}
+  UNION ALL SELECT conv_id, c FROM ncs{rnd}_{max_neighbors}
+)""")
+    finals = [
+        f"""SELECT conv_id, 'token_count' AS metric,
+       CAST({rnd - 1} AS BIGINT) AS rank,
+       CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx
+FROM fs{rnd}""" for rnd in range(1, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1589,6 +1735,105 @@ SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank, idx FROM p2
 UNION ALL
 SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
 """.strip(),
+        "regimes": f"""
+WITH {_CHOSEN_CTE},
+drg AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+crg AS (
+  SELECT d.conv_id, d.i, d.j,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM drg d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+-- profile index with the kernel's tie order: higher corr first, then the
+-- smaller diagonal, then the earlier (left) neighbor (mpx scan order)
+pi0 AS (
+  SELECT conv_id, i, j FROM (
+    SELECT conv_id, i, j, row_number() OVER
+      (PARTITION BY conv_id, i ORDER BY c DESC, abs(i - j) ASC, j ASC) AS rn
+    FROM crg
+  ) WHERE rn = 1
+),
+nsz AS (SELECT conv_id, count(*) AS pl FROM pi0 GROUP BY 1),
+big AS (SELECT conv_id, pl FROM nsz WHERE pl > {10 * _MPX_W}),
+-- fluss (regimes.py:43-91): an arc (i, pi[i]) crosses positions
+-- [min+1, max-1]; cross_count[k] = number of crossing arcs
+arcs AS (
+  SELECT p.conv_id, least(p.i, p.j) + 1 AS lo, greatest(p.i, p.j) - 1 AS hi
+  FROM pi0 p JOIN big USING (conv_id)
+),
+pos AS (SELECT p.conv_id, p.i AS k, b.pl FROM pi0 p JOIN big b USING (conv_id)),
+cc AS (
+  SELECT p.conv_id, p.k, p.pl, CAST(count(a.lo) AS DOUBLE) AS cross_count
+  FROM pos p LEFT JOIN arcs a
+    ON a.conv_id = p.conv_id AND p.k BETWEEN a.lo AND a.hi
+  GROUP BY 1, 2, 3
+),
+cac AS MATERIALIZED (
+  SELECT conv_id, k, pl,
+    CASE WHEN k < {_MPX_W} OR k >= pl - {_MPX_W} THEN 1.0
+         ELSE least(cross_count /
+                (-(((pl / 2.0) / ((pl / 2.0) * (pl / 2.0)))
+                   * (k - pl / 2.0) * (k - pl / 2.0)) + pl / 2.0), 1.0)
+    END AS v
+  FROM cc
+),
+p1 AS (
+  SELECT conv_id, k FROM (
+    SELECT conv_id, k, row_number() OVER
+      (PARTITION BY conv_id ORDER BY v ASC, k ASC) AS rn FROM cac
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT c.* FROM cac c JOIN p1 USING (conv_id)
+  WHERE NOT (c.k >= p1.k - {5 * _MPX_W} AND c.k < p1.k + {5 * _MPX_W})
+),
+p2 AS (
+  SELECT conv_id, k FROM (
+    SELECT conv_id, k, row_number() OVER
+      (PARTITION BY conv_id ORDER BY v ASC, k ASC) AS rn FROM m2
+  ) WHERE rn = 1
+),
+p2f AS (
+  SELECT conv_id, k FROM p2
+  UNION ALL
+  SELECT b.conv_id, 0 AS k FROM big b
+  WHERE b.conv_id NOT IN (SELECT conv_id FROM p2)
+),
+m3 AS (
+  SELECT m.* FROM m2 m JOIN p2f USING (conv_id)
+  WHERE NOT (m.k >= p2f.k - {5 * _MPX_W} AND m.k < p2f.k + {5 * _MPX_W})
+),
+p3 AS (
+  SELECT conv_id, k FROM (
+    SELECT conv_id, k, row_number() OVER
+      (PARTITION BY conv_id ORDER BY v ASC, k ASC) AS rn FROM m3
+  ) WHERE rn = 1
+),
+p3f AS (
+  SELECT conv_id, k FROM p3
+  UNION ALL
+  SELECT b.conv_id, 0 AS k FROM big b
+  WHERE b.conv_id NOT IN (SELECT conv_id FROM p3)
+)
+SELECT conv_id, 'token_count' AS metric, CAST(0 AS BIGINT) AS rank,
+       CAST(k AS BIGINT) AS idx FROM p1
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank,
+       CAST(k AS BIGINT) AS idx FROM p2f
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank,
+       CAST(k AS BIGINT) AS idx FROM p3f
+""".strip(),
         "moving_median_w8": f"""
 WITH transcripts AS ({_T}),
 tok AS (
@@ -1752,4 +1997,5 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     # the JSON io layer must be value-preserving: the round-tripped MPX
     # profile shares the brute-force oracle verbatim
     out["profile_json_roundtrip"] = out["mpx_w16"]
+    out["motifs_top3"] = _motifs_oracle_sql()
     return out

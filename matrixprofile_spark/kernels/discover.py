@@ -50,10 +50,22 @@ def top_k_motifs(
     k: int = 3,
     max_neighbors: int = 10,
     radius: float = 3,
+    zero_eps: float | None = None,
 ) -> list[dict]:
-    """[{motifs: [first, second], neighbors: [...]}] per the reference."""
+    """[{motifs: [first, second], neighbors: [...]}] per the reference.
+
+    zero_eps (engine determinism mandate, off by default): distances
+    below eps clamp to exactly 0 before every argmin. An exact-duplicate
+    window pair has true distance 0, but each engine computes it as
+    0 ± ~1e-7 depending on rounding luck, so raw argmin tie-breaking is
+    fp-noise-dependent (the reference has the same instability). With
+    the clamp, picks are deterministic: all true-zero positions tie and
+    the smallest index wins — reproducible across engines and
+    partitionings, like the seeded noise in preprocess."""
     ts = np.asarray(ts, dtype=np.float64)
     mp = np.array(mp, dtype=np.float64)
+    if zero_eps:
+        mp[mp < zero_eps] = 0.0
     n = len(ts)
     if ez is None:
         ez = int(np.ceil(w / 2.0))
@@ -66,6 +78,8 @@ def top_k_motifs(
         first = int(min(min_idx, pi[min_idx]))
         second = int(max(min_idx, pi[min_idx]))
         dp = np.real(mass2(ts, ts[first : first + w]))
+        if zero_eps:
+            dp[dp < zero_eps] = 0.0
         dp[~np.isfinite(mp)] = np.inf
         for j in (first, second):
             dp = apply_exclusion_zone(ez, False, w, n, j, dp)

@@ -248,8 +248,13 @@ def with_discoveries(
     radius: float = 3,
     ez_override: int | None = None,
     packed: bool = False,
+    zero_eps: float | None = None,
 ) -> DataFrame:
     """Append motifs/discords/regimes per profile row.
+
+    zero_eps: clamp near-zero profile distances to exactly 0 before the
+    motif argmin scans (see kernels.discover.top_k_motifs) so picks on
+    exact-duplicate windows are fp-noise-independent.
 
     Joins profiles back to the packed series (motifs re-query the raw
     values via MASS, top_k_motifs.py:251) — a broadcast-friendly equi
@@ -269,7 +274,8 @@ def with_discoveries(
         ez = ez_override if ez_override is not None else int(np.ceil(w / 4.0))
         disc = D.top_k_discords(mp, w, ez=ez, k=k_discords)
         mot = D.top_k_motifs(values, mp, pi, w, ez=ez, k=k_motifs,
-                             max_neighbors=max_neighbors, radius=radius)
+                             max_neighbors=max_neighbors, radius=radius,
+                             zero_eps=zero_eps)
         cac = D.fluss(pi, w)
         reg = D.extract_regimes(cac, w) if len(cac) > 10 * w else np.array([], dtype="int64")
         return pd.DataFrame([{
