@@ -245,6 +245,37 @@ def _q_skimp_pmp(spark, sf_dir):
              F.round("dist", 2).alias("dist_r2"))
 
 
+def _q_pmp_discords(spark, sf_dir):
+    """Top-3 discords over the PMP (w ∈ {8,16,32}) — the reference's
+    2-D dispatch (top_k_discords.py:16-91); oracle = chained-CTE argmax
+    with per-row exclusion ez = floor(w/2)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
+    out = P.pmp_discords(prof, k=3)
+    return out.select(
+        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+        "w", F.col("idx").cast("bigint").alias("idx"),
+    )
+
+
+def _q_pmp_motifs(spark, sf_dir):
+    """Top-3 motifs over the PMP (top_k_motifs.py:16-171). No DuckDB
+    oracle: the 2-D anytime pick interleaves MASS re-queries whose
+    argmin targets sit at true distance 0 for this integer-valued data,
+    so cross-engine fp tie-breaking is not reproducible at the PMP level
+    (the 1-D variant is oracle-checked as motifs_top3); covered by the
+    kernel unit test (test_kernels.py::test_pmp_discords_and_motifs)
+    and a rows-only driver check."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
+    out = P.pmp_motifs(prof, chosen, k=3, packed=True)
+    return out.select(
+        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+        "w", F.col("first_idx").cast("bigint").alias("first_idx"),
+        F.col("second_idx").cast("bigint").alias("second_idx"),
+    )
+
+
 def _q_pairwise_mpdist(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     return P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True) \
@@ -707,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regimes": _q_regimes,
         "snippets": _q_snippets,
         "skimp_pmp": _q_skimp_pmp,
+        "pmp_discords_top3": _q_pmp_discords,
+        "pmp_motifs_top3": _q_pmp_motifs,
         "pairwise_mpdist": _q_pairwise_mpdist,
         "salted_mpx_hot": _q_salted_mpx,
         "transcripts": _q_transcripts,
@@ -1646,6 +1679,63 @@ prof AS (
 SELECT conv_id, CAST(dim AS INTEGER) AS dim, idx,
        CASE WHEN dist < 0.05 THEN 0.0 ELSE round(dist, 2) END AS dist_r2
 FROM prof
+""".strip(),
+        "pmp_discords_top3": f"""
+WITH {_CHOSEN_CTE},
+{_w_stats_sql(8, "st8")},
+{_w_stats_sql(32, "st32")},
+{_mpx_block_sql(8, "st8", "q8")},
+{_mpx_block_sql(16, "sub", "q16")},
+{_mpx_block_sql(32, "st32", "q32")},
+pmp AS MATERIALIZED (
+  SELECT conv_id, 0 AS rw, 8 AS w, i AS idx,
+         sqrt(2 * 8 * (1 - least(max(c), 1.0))) AS dist
+  FROM cq8 GROUP BY 1, 4
+  UNION ALL
+  SELECT conv_id, 1 AS rw, 16 AS w, i AS idx,
+         sqrt(2 * 16 * (1 - least(max(c), 1.0))) AS dist
+  FROM cq16 GROUP BY 1, 4
+  UNION ALL
+  SELECT conv_id, 2 AS rw, 32 AS w, i AS idx,
+         sqrt(2 * 32 * (1 - least(max(c), 1.0))) AS dist
+  FROM cq32 GROUP BY 1, 4
+),
+d1 AS (
+  SELECT conv_id, rw, w, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+      ORDER BY dist DESC, rw ASC, idx ASC) AS rn FROM pmp
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT p.* FROM pmp p JOIN d1 USING (conv_id)
+  WHERE NOT (p.rw = d1.rw AND p.idx >= d1.idx - d1.w // 2
+             AND p.idx < d1.idx + d1.w // 2)
+),
+d2 AS (
+  SELECT conv_id, rw, w, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+      ORDER BY dist DESC, rw ASC, idx ASC) AS rn FROM m2
+  ) WHERE rn = 1
+),
+m3 AS (
+  SELECT m.* FROM m2 m JOIN d2 USING (conv_id)
+  WHERE NOT (m.rw = d2.rw AND m.idx >= d2.idx - d2.w // 2
+             AND m.idx < d2.idx + d2.w // 2)
+),
+d3 AS (
+  SELECT conv_id, rw, w, idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+      ORDER BY dist DESC, rw ASC, idx ASC) AS rn FROM m3
+  ) WHERE rn = 1
+)
+SELECT conv_id, 'token_count' AS metric, CAST(0 AS BIGINT) AS rank,
+       CAST(w AS INTEGER) AS w, CAST(idx AS BIGINT) AS idx FROM d1
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank,
+       CAST(w AS INTEGER) AS w, CAST(idx AS BIGINT) AS idx FROM d2
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank,
+       CAST(w AS INTEGER) AS w, CAST(idx AS BIGINT) AS idx FROM d3
 """.strip(),
         "pairwise_mpdist": f"""
 WITH {_CHOSEN_CTE},

@@ -482,6 +482,90 @@ def hierarchical_assignments(
     )
 
 
+PMP_DISCORD_SCHEMA = "conv_id string, metric string, rank int, w int, idx long"
+
+PMP_MOTIF_SCHEMA = (
+    "conv_id string, metric string, rank int, w int, "
+    "first_idx long, second_idx long"
+)
+
+
+def _pmp_rows_to_matrix(pdf: pd.DataFrame):
+    """Stack one series' per-window profile rows into the reference's
+    2-D PMP shape (skimp.py:232-243): rows in ascending-window order,
+    ragged tails padded with +inf (masked by the discovery kernels)."""
+    pdf = pdf.sort_values("w")
+    windows = pdf["w"].to_numpy(dtype="int64")
+    lens = [len(m) for m in pdf["mp"]]
+    maxlen = max(lens)
+    pmp = np.full((len(pdf), maxlen), np.inf)
+    pmpi = np.zeros((len(pdf), maxlen), dtype="int64")
+    for r, (m, p) in enumerate(zip(pdf["mp"], pdf["pi"])):
+        pmp[r, : len(m)] = np.asarray(m, dtype="d")
+        pmpi[r, : len(p)] = np.asarray(p, dtype="int64")
+    return windows, pmp, pmpi
+
+
+def pmp_discords(pmp_profiles: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k discords over a pan-matrix-profile table — the reference's
+    PMP dispatch (top_k_discords.py:16-91, served via :158-201): global
+    2-D argmax with per-row exclusion ez = floor(w/2).
+
+    Input: skimp_profiles output (one row per (conv_id, metric, w))."""
+
+    def fn(key, pdf):
+        windows, pmp, _ = _pmp_rows_to_matrix(pdf)
+        prof = {"pmp": pmp, "windows": windows, "metric": "euclidean"}
+        out = D.pmp_top_k_discords(prof, k=k)
+        rows = [
+            {"conv_id": key[0], "metric": key[1], "rank": i,
+             "w": int(windows[rc[0]]), "idx": int(rc[1])}
+            for i, rc in enumerate(out["discords"])
+        ]
+        return pd.DataFrame(
+            rows, columns=["conv_id", "metric", "rank", "w", "idx"])
+
+    return _grouped(pmp_profiles, "conv_id", "metric").applyInPandas(
+        fn, PMP_DISCORD_SCHEMA
+    )
+
+
+def pmp_motifs(
+    pmp_profiles: DataFrame, series: DataFrame, k: int = 3,
+    max_neighbors: int = 10, radius: float = 3, packed: bool = False,
+) -> DataFrame:
+    """Top-k motifs over a pan-matrix-profile table (top_k_motifs.py:
+    16-171, served via :317-393): 2-D argmin pick, MASS re-query of the
+    picked row's window against the raw series, neighbor suppression.
+    Joins the PMP rows back to the packed series for the re-query."""
+    src = series if packed else pack_series(series)
+    joined = pmp_profiles.join(src.select("conv_id", "metric", "values"),
+                               ["conv_id", "metric"])
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        windows, pmp, pmpi = _pmp_rows_to_matrix(pdf)
+        prof = {
+            "pmp": pmp, "pmpi": pmpi, "windows": windows,
+            "metric": "euclidean", "data": {"ts": values},
+        }
+        out = D.pmp_top_k_motifs(prof, k=k, max_neighbors=max_neighbors,
+                                 radius=radius)
+        rows = [
+            {"conv_id": key[0], "metric": key[1], "rank": i,
+             "w": int(windows[m["motifs"][0][0]]),
+             "first_idx": int(m["motifs"][0][1]),
+             "second_idx": int(m["motifs"][1][1])}
+            for i, m in enumerate(out["motifs"])
+        ]
+        return pd.DataFrame(rows, columns=[
+            "conv_id", "metric", "rank", "w", "first_idx", "second_idx"])
+
+    return _grouped(joined, "conv_id", "metric").applyInPandas(
+        fn, PMP_MOTIF_SCHEMA
+    )
+
+
 def global_top_discords(discoveries: DataFrame, profiles: DataFrame, k: int = 10) -> DataFrame:
     """Cross-conversation top-k discords: explode per-series discords,
     look up their distances, TakeOrderedAndProject over the whole table
