@@ -67,6 +67,10 @@ def to_json(profile: dict) -> str:
             out[k] = float(v)
         else:
             out[k] = v
+    # the reference reader dereferences dct['data']['ts'] unconditionally
+    # (io/__io.py:57-106); emit the key so engine output loads there too
+    # (the engine keeps series in the series table, not in the profile)
+    out.setdefault("data", {"ts": None, "query": None})
     return json.dumps(out)
 
 

@@ -76,10 +76,17 @@ def _pack(vals: np.ndarray, w: int) -> bytes:
     widx = off >> 6
     shift = (off & 63).astype(_U64)
     v = vals.astype(_U64)
-    np.bitwise_or.at(words, widx, v << shift)
+    low = v << shift
     safe_rem = np.where(shift == 0, _U64(1), _U64(64) - shift)
     high = np.where(shift == 0, _U64(0), v >> safe_rem)
-    np.bitwise_or.at(words, widx + 1, high)
+    # positions g, g+G, g+2G, … never share a word (G·w ≥ 64), so each
+    # stride ORs with unique indices — whole-array ops, no unbuffered
+    # per-element ufunc scatter
+    G = -(-64 // w)
+    for g in range(G):
+        wi = widx[g::G]
+        words[wi] |= low[g::G]
+        words[wi + 1] |= high[g::G]
     return words.tobytes()
 
 

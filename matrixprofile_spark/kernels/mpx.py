@@ -274,6 +274,15 @@ def _ab_one_side(
     mpb = np.full(plb, -1.0)
     mpib = np.full(plb, -1, dtype=np.int64)
 
+    if _native.available():
+        _native.ab_diags(
+            a, np.ascontiguousarray(mua), np.ascontiguousarray(siga),
+            dfa, dga,
+            bq, np.ascontiguousarray(mub), np.ascontiguousarray(sigb),
+            dfb, dgb, pla, plb, w, mpa, mpia, mpb, mpib,
+        )
+        return mpa, mpia, mpb, mpib
+
     B, C = block, tile
     pad = np.zeros(B + C)
     dfap = np.concatenate((dfa, pad))

@@ -76,7 +76,6 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
-    num_hashes = None  # derived per-row via slice
     banded = sigs.select(
         "id",
         F.explode(

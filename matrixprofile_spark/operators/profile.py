@@ -100,6 +100,21 @@ def _profile_row(key, prof: dict) -> pd.DataFrame:
     )
 
 
+# one packed series materializes as a single task's array; beyond this
+# even the salted diagonal-band path keeps a full copy per band task
+MAX_PACKED_POINTS = 200_000_000
+
+
+def _guard_packed(values: np.ndarray, key) -> None:
+    if len(values) > MAX_PACKED_POINTS:
+        raise ValueError(
+            f"series {tuple(key)} has {len(values)} points > "
+            f"MAX_PACKED_POINTS={MAX_PACKED_POINTS}; a packed kernel task "
+            "would exhaust executor memory — downsample via the rollup "
+            "tiers or raise the limit deliberately"
+        )
+
+
 def _too_short(values: np.ndarray, w: int) -> bool:
     return len(values) < 2 * w
 
@@ -130,6 +145,7 @@ def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
 
     def fn(key, pdf):
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        _guard_packed(values, key)
         if _too_short(values, w):
             return _profile_row(key, W.mpx_profile(values, w)).iloc[0:0]
         return _profile_row(key, W.mpx_profile(values, w))
@@ -380,24 +396,26 @@ def ab_join_pairs(pairs: DataFrame, w: int) -> DataFrame:
     from matrixprofile_spark.kernels.mpx import mpx_ab_join
 
     def fn(pdf):
-        rows = []
-        for _, r in pdf.iterrows():
+        frames = []
+        for _, r in pdf.iterrows():  # one iteration per PAIR, not per point
             va = np.asarray(r["values_a"], dtype="d")
             vb = np.asarray(r["values_b"], dtype="d")
             if len(va) < 2 * w or len(vb) < 2 * w:
                 continue
             mp, _, mpb, _ = mpx_ab_join(va, vb, w)
             for side, prof in (("a", mp), ("b", mpb)):
-                for i, d in enumerate(prof):
-                    if np.isfinite(d):
-                        rows.append({
-                            "conv_id_a": r["conv_id_a"],
-                            "conv_id_b": r["conv_id_b"],
-                            "metric": r["metric"], "w": w,
-                            "side": side, "idx": i, "dist": float(d),
-                        })
-        return pd.DataFrame(rows, columns=[
-            "conv_id_a", "conv_id_b", "metric", "w", "side", "idx", "dist"])
+                fin = np.isfinite(prof)
+                frames.append(pd.DataFrame({
+                    "conv_id_a": r["conv_id_a"],
+                    "conv_id_b": r["conv_id_b"],
+                    "metric": r["metric"], "w": w, "side": side,
+                    "idx": np.arange(len(prof), dtype="int64")[fin],
+                    "dist": prof[fin],
+                }))
+        cols = ["conv_id_a", "conv_id_b", "metric", "w", "side", "idx", "dist"]
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)[cols]
 
     return pairs.mapInPandas(lambda it: (fn(pdf) for pdf in it), AB_SCHEMA)
 
@@ -470,7 +488,13 @@ def hierarchical_assignments(
     ids = sorted({r["conv_id_a"] for r in rows} | {r["conv_id_b"] for r in rows})
     pos = {c: i for i, c in enumerate(ids)}
     m = len(ids)
-    y = np.zeros(m * (m - 1) // 2)
+    if len(rows) != m * (m - 1) // 2:
+        raise ValueError(
+            f"pair_dists must cover all {m * (m - 1) // 2} pairs of the "
+            f"{m} series, got {len(rows)} rows (a missing pair would "
+            "otherwise silently link clusters at distance 0)"
+        )
+    y = np.full(m * (m - 1) // 2, np.inf)
     for r in rows:
         i, j = sorted((pos[r["conv_id_a"]], pos[r["conv_id_b"]]))
         y[m * i + j - ((i + 2) * (i + 1)) // 2] = r["mpdist"]

@@ -81,7 +81,10 @@ def salted_mpx_profiles(
     Result is identical to mpx_profiles (tests assert bit-parity on the
     merged profile) — only the physical plan differs: hot keys fan out
     to `bands` tasks instead of one."""
-    src = (series if packed else pack_series(series)).cache()
+    # localCheckpoint (not cache): blocks are reclaimed by the context
+    # cleaner once this DataFrame is unreachable, so repeated calls in a
+    # long-lived session don't accumulate storage
+    src = (series if packed else pack_series(series)).localCheckpoint()
     cold = src.where(F.col("n") < hot_threshold)
     hot = src.where(F.col("n") >= hot_threshold)
 

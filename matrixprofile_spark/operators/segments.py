@@ -36,8 +36,9 @@ from matrixprofile_spark.kernels.compression import (
 )
 
 SEGMENT_SCHEMA = (
-    "conv_id string, metric string, chunk_start_epoch long, n long, "
-    "ts_codec string, val_codec string, ts_bytes binary, val_bytes binary"
+    "conv_id string, metric string, chunk_idx int, chunk_start_epoch long, "
+    "n long, ts_codec string, val_codec string, ts_bytes binary, "
+    "val_bytes binary"
 )
 
 SERIES_SCHEMA = (
@@ -62,12 +63,13 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
         ts = pdf["ts_epoch"].to_numpy(dtype=np.int64)
         vals = pdf["value"].to_numpy(dtype=np.float64)  # NULL → NaN
         rows = []
-        for s in range(0, len(pdf), chunk_points):
+        for ci, s in enumerate(range(0, len(pdf), chunk_points)):
             e = min(s + chunk_points, len(pdf))
             rows.append(
                 {
                     "conv_id": key[0],
                     "metric": key[1],
+                    "chunk_idx": ci,
                     "chunk_start_epoch": int(ts[s]),
                     "n": e - s,
                     "ts_codec": "dod",
@@ -91,7 +93,14 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     for 10k series). Each series' global point index is re-derived from
     a window prefix-sum over chunk sizes, which shuffles only the small
     segments table, never the points."""
-    w = Window.partitionBy("conv_id", "metric").orderBy("chunk_start_epoch")
+    # chunk_idx is the deterministic tiebreaker (chunks may share a
+    # start epoch when equal timestamps straddle a boundary) and the
+    # explicit ROWS frame keeps tied rows' cumulative sums distinct
+    w = (
+        Window.partitionBy("conv_id", "metric")
+        .orderBy("chunk_start_epoch", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     seg = segments.withColumn(
         "idx0", (F.sum("n").over(w) - F.col("n")).cast("long")
     )
@@ -128,27 +137,39 @@ def decode_segments(segments: DataFrame) -> DataFrame:
 def encode_transcript_segments(
     transcripts: DataFrame, chunk_turns: int = 1024
 ) -> DataFrame:
-    """transcript rows → text segment rows with per-turn payloads."""
+    """transcript rows → text segment rows with per-turn payloads.
+
+    Payload layout (before zlib): a block of n big-endian u32 record
+    lengths, then the n records concatenated. A record is the \\x1f-join
+    of (turn_idx, role, tool, text) where tool carries a presence
+    prefix ('T' + value, or empty for NULL — NULs don't survive pandas
+    fillna); text may contain any character — record boundaries come
+    from the lengths block, never from scanning. All per-turn work is
+    pandas/NumPy columnar: string concat + utf-8 encode + lengths are
+    vectorized, a chunk's bytes assemble with one tobytes() and one
+    join."""
 
     def fn(key, pdf):
         pdf = pdf.sort_values("turn_idx")
         ts = pdf["ts_epoch"].to_numpy(dtype=np.int64)
+        recs = (
+            pdf["turn_idx"].astype("int64").astype("string")
+            + "\x1f" + pdf["role"]
+            + "\x1f" + ("T" + pdf["tool"]).fillna("")
+            + "\x1f" + pdf["text"]
+        ).str.encode("utf-8")
+        lens = recs.str.len().to_numpy(dtype=">u4")
         rows = []
         for ci, s in enumerate(range(0, len(pdf), chunk_turns)):
             e = min(s + chunk_turns, len(pdf))
-            parts = []
-            for _, r in pdf.iloc[s:e].iterrows():
-                tool = r["tool"] if r["tool"] is not None else "\x00"
-                rec = f"{r['turn_idx']}\x1f{r['role']}\x1f{tool}\x1f{r['text']}"
-                b = rec.encode("utf-8")
-                parts.append(len(b).to_bytes(4, "big") + b)
+            blob = lens[s:e].tobytes() + b"".join(recs.iloc[s:e])
             rows.append(
                 {
                     "conv_id": key[0],
                     "chunk_idx": ci,
                     "n": e - s,
                     "ts_bytes": encode_timestamps_dod(ts[s:e]),
-                    "payload": zlib.compress(b"".join(parts), 6),
+                    "payload": zlib.compress(blob, 6),
                 }
             )
         return pd.DataFrame(rows)
@@ -157,37 +178,47 @@ def encode_transcript_segments(
 
 
 def decode_transcript_segments(segments: DataFrame) -> DataFrame:
-    """text segment rows → transcript rows in stable turn order."""
+    """text segment rows → transcript rows.
 
-    def fn(key, pdf):
-        pdf = pdf.sort_values("chunk_idx")
-        rows = []
-        for _, seg in pdf.iterrows():
-            ts = decode_timestamps_dod(bytes(seg["ts_bytes"]))
-            raw = zlib.decompress(bytes(seg["payload"]))
-            pos = 0
-            i = 0
-            while pos < len(raw):
-                ln = int.from_bytes(raw[pos : pos + 4], "big")
-                pos += 4
-                turn_idx, role, tool, text = (
-                    raw[pos : pos + ln].decode("utf-8").split("\x1f", 3)
-                )
-                pos += ln
-                rows.append(
-                    {
-                        "conv_id": key[0],
-                        "turn_idx": int(turn_idx),
-                        "role": role,
-                        "text": text,
-                        "tool": None if tool == "\x00" else tool,
-                        "ts_epoch": int(ts[i]),
-                    }
-                )
-                i += 1
-        return pd.DataFrame(
-            rows,
-            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts_epoch"],
-        )
+    Chunks decode independently → mapInPandas over segment rows (the
+    same reasoning as decode_segments: no tiny per-group frames). Record
+    framing comes from the u32 lengths block (np.frombuffer + cumsum
+    offsets); field split and utf-8 decode are vectorized pandas str
+    ops over the whole batch."""
 
-    return segments.groupBy("conv_id").applyInPandas(fn, TRANSCRIPT_SCHEMA)
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            conv_parts, ts_parts, rec_parts, n_parts = [], [], [], []
+            for conv_id, b_ts, b_pay, n in zip(
+                pdf["conv_id"], pdf["ts_bytes"], pdf["payload"], pdf["n"]
+            ):
+                n = int(n)
+                raw = zlib.decompress(bytes(b_pay))
+                lens = np.frombuffer(raw, dtype=">u4", count=n).astype("int64")
+                offs = 4 * n + np.concatenate(([0], np.cumsum(lens)))
+                mv = memoryview(raw)
+                rec_parts.extend(
+                    bytes(mv[offs[i]:offs[i + 1]]) for i in range(n)
+                )
+                ts_parts.append(decode_timestamps_dod(bytes(b_ts)))
+                conv_parts.append(conv_id)
+                n_parts.append(n)
+            fields = (
+                pd.Series(rec_parts)
+                .str.decode("utf-8")
+                .str.split("\x1f", n=3, expand=True)
+            )
+            n_arr = np.asarray(n_parts, dtype="int64")
+            tool = fields[2]
+            yield pd.DataFrame({
+                "conv_id": np.repeat(np.asarray(conv_parts, dtype=object), n_arr),
+                "turn_idx": fields[0].astype("int64").astype("int32"),
+                "role": fields[1],
+                "text": fields[3],
+                "tool": tool.str.slice(1).where(tool != "", None),
+                "ts_epoch": np.concatenate(ts_parts) if ts_parts else [],
+            })
+
+    return segments.mapInPandas(fn, TRANSCRIPT_SCHEMA)
