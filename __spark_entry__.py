@@ -92,7 +92,7 @@ def _q_rollup_1h_stats(spark, sf_dir):
 
 def _q_gapfill_locf(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
-    return gapfill.fill_locf(gapfill.to_grid(tok, 60), "forward")
+    return gapfill.gapfill_locf(tok, 60, "forward")
 
 
 def _q_moving_stats(spark, sf_dir):

@@ -57,6 +57,49 @@ def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
     return grid.join(bucketed, ["conv_id", "metric", "ts_epoch"], "left")
 
 
+def gapfill_locf(
+    series: DataFrame, step_s: int = 60, direction: str = "forward"
+) -> DataFrame:
+    """Fused grid + LOCF fill — equals fill_locf(to_grid(series), dir)
+    with a fraction of the plan: to_grid references the bucketed
+    aggregate twice (span agg + grid join), so the whole upstream
+    recomputes, and the composed pipeline pays five exchanges; here one
+    window pass over the bucketed rows lags the previous observation and
+    each row *generates its own gap* inline (sequence over the missing
+    buckets carries the lagged value forward / this value backward).
+    Two exchanges total, no join, nothing scans raw twice."""
+    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucketed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
+        .agg((F.sum("value") / F.count("value")).alias("value"))
+    )
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    lagged = bucketed.select(
+        "conv_id", "metric",
+        F.col("ts_epoch").alias("_t1"), F.col("value").alias("_v1"),
+        F.lag("ts_epoch").over(w).alias("_t0"),
+        F.lag("value").over(w).alias("_v0"),
+    )
+    exploded = lagged.select(
+        "conv_id", "metric", "_t1", "_v1", "_v0",
+        F.explode(
+            F.sequence(
+                F.coalesce(F.col("_t0") + step_s, F.col("_t1")),
+                F.col("_t1"),
+                F.lit(int(step_s)),
+            )
+        ).alias("ts_epoch"),
+    )
+    if direction == "forward":
+        value = F.when(F.col("ts_epoch") == F.col("_t1"), F.col("_v1")).otherwise(
+            F.col("_v0")
+        )
+    else:  # backward (next observation carried back)
+        value = F.col("_v1")
+    return exploded.select("conv_id", "metric", "ts_epoch", value.alias("value"))
+
+
 def fill_locf(grid: DataFrame, direction: str = "forward") -> DataFrame:
     """Last/next-observation-carried-forward fill of NULL grid points."""
     w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")

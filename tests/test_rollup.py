@@ -140,6 +140,21 @@ def test_gapfill_locf_fills_everything(transcripts):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_gapfill_locf_fused_equals_composed(transcripts):
+    tok = S.token_count_series(transcripts)
+    composed = gapfill.fill_locf(gapfill.to_grid(tok, 60), "forward")
+    fused = gapfill.gapfill_locf(tok, 60, "forward")
+    a = composed.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    b = fused.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    # backward fill: grid points take the NEXT observation instead
+    composed_b = gapfill.fill_locf(gapfill.to_grid(tok, 60), "backward")
+    fused_b = gapfill.gapfill_locf(tok, 60, "backward")
+    a = composed_b.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    b = fused_b.orderBy("conv_id", "metric", "ts_epoch").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_gapfill_window_stat_methods(transcripts):
     tok = S.token_count_series(transcripts)
     grid = gapfill.to_grid(tok, 60)
