@@ -245,6 +245,27 @@ def _q_skimp_pmp(spark, sf_dir):
              F.round("dist", 2).alias("dist_r2"))
 
 
+def _q_skimp_memo(spark, sf_dir):
+    """Resumable SKIMP (skimp.py:195-206 reuse semantics): build the
+    store at windows [8,16] ("killed" before 32), then resume widening
+    to [8,16,32] — only the missing keys compute. The resumed store must
+    equal the from-scratch sweep, so it shares the skimp_pmp oracle."""
+    import tempfile
+
+    from matrixprofile_spark.streaming import incremental as INC
+
+    chosen = _chosen_token_series(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="mp_spark_skimp_memo_")
+    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16])
+    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16, 32])
+    store = INC.read_skimp_store(spark, wd)
+    return store.select(
+        "conv_id", "metric", "w", F.posexplode("mp").alias("idx", "dist")
+    ).select("conv_id", "metric", "w",
+             F.col("idx").cast("bigint").alias("idx"),
+             F.round("dist", 2).alias("dist_r2"))
+
+
 def _q_pmp_discords(spark, sf_dir):
     """Top-3 discords over the PMP (w ∈ {8,16,32}) — the reference's
     2-D dispatch (top_k_discords.py:16-91); oracle = chained-CTE argmax
@@ -738,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regimes": _q_regimes,
         "snippets": _q_snippets,
         "skimp_pmp": _q_skimp_pmp,
+        "skimp_memo_resume": _q_skimp_memo,
         "pmp_discords_top3": _q_pmp_discords,
         "pmp_motifs_top3": _q_pmp_motifs,
         "pairwise_mpdist": _q_pairwise_mpdist,
@@ -2088,4 +2110,6 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     # profile shares the brute-force oracle verbatim
     out["profile_json_roundtrip"] = out["mpx_w16"]
     out["motifs_top3"] = _motifs_oracle_sql()
+    # the resumed memo store must equal the from-scratch sweep
+    out["skimp_memo_resume"] = out["skimp_pmp"]
     return out

@@ -215,22 +215,9 @@ def skimp_profiles(
     if windows is not None:
         spark = src.sparkSession
         wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
-        crossed = src.join(F.broadcast(wdf))
+        return skimp_profiles_from_worklist(src.join(F.broadcast(wdf)))
 
-        def fn_one(key, pdf):
-            values = np.asarray(pdf["values"].iloc[0], dtype="d")
-            w = int(key[2])
-            if _too_short(values, w):
-                return _profile_row((key[0], key[1]), W.mpx_profile(values, 4)).iloc[0:0]
-            out = _profile_row((key[0], key[1]), W.mpx_profile(values, w))
-            out["algorithm"] = "skimp"
-            return out
-
-        return _grouped(crossed, "conv_id", "metric", "w").applyInPandas(
-            fn_one, PROFILE_SCHEMA
-        )
-
-    def fn_sweep(key, pdf):
+    def fn_sweep(key, pdf):  # windows=None: in-kernel doubling search
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
         if len(values) < 16:
             return pd.DataFrame(
@@ -253,6 +240,29 @@ def skimp_profiles(
         return pd.DataFrame(rows)
 
     return _grouped(src, "conv_id", "metric").applyInPandas(fn_sweep, PROFILE_SCHEMA)
+
+
+def skimp_profiles_from_worklist(worklist: DataFrame) -> DataFrame:
+    """One profile row per work-list row (conv_id, metric, values, w).
+
+    The explicit work-list form exists so callers can prune it BEFORE
+    the kernels run — streaming.incremental.run_skimp_memo anti-joins
+    it against a persisted profile store (skimp.py:195-206 reuse
+    semantics) and only missing (conv_id, metric, w) keys reach here."""
+
+    def fn_one(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        w = int(key[2])
+        _guard_packed(values, key)
+        if _too_short(values, w):
+            return _profile_row((key[0], key[1]), W.mpx_profile(values, 4)).iloc[0:0]
+        out = _profile_row((key[0], key[1]), W.mpx_profile(values, w))
+        out["algorithm"] = "skimp"
+        return out
+
+    return _grouped(worklist, "conv_id", "metric", "w").applyInPandas(
+        fn_one, PROFILE_SCHEMA
+    )
 
 
 def with_discoveries(

@@ -170,6 +170,51 @@ def read_tier(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
     return spark.read.parquet(_table_path(workdir, stage)).drop("day")
 
 
+def _skimp_store_path(workdir: str) -> str:
+    return os.path.join(workdir, "skimp_profiles")
+
+
+def read_skimp_store(spark: SparkSession, workdir: str) -> DataFrame | None:
+    path = _skimp_store_path(workdir)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def run_skimp_memo(
+    spark: SparkSession, packed: DataFrame, workdir: str, windows,
+) -> int:
+    """Memoized SKIMP sweep (the reference resumes a partially-computed
+    pan-profile, skimp.py:195-206; here the profile table IS the memo).
+
+    The requested work-list (packed series × windows) is anti-joined
+    against the persisted profile store on (conv_id, metric, w); only
+    missing keys reach the kernels, and their rows append to the store.
+    Returns the number of newly computed profile rows — a clean re-run
+    returns 0 (the resume test's no-recompute assertion). New windows OR
+    new conversations both surface as missing keys, so widening the
+    sweep and ingesting data share one code path."""
+    from pyspark.sql import functions as F2
+
+    from matrixprofile_spark.operators.profile import (
+        skimp_profiles_from_worklist,
+    )
+
+    wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
+    work = packed.join(F2.broadcast(wdf))
+    store = read_skimp_store(spark, workdir)
+    n_before = 0
+    if store is not None:
+        n_before = store.count()
+        have = store.select("conv_id", "metric", "w")
+        work = work.join(F2.broadcast(have), ["conv_id", "metric", "w"],
+                         "left_anti")
+    fresh = skimp_profiles_from_worklist(work)
+    path = _skimp_store_path(workdir)
+    fresh.write.mode("append").partitionBy("w").parquet(path)
+    return spark.read.parquet(path).count() - n_before
+
+
 def apply_retention(
     workdir: str, now_epoch: int, keep_raw_s: int, keep_1m_s: int, keep_1h_s: int
 ) -> dict[str, list[int]]:

@@ -157,3 +157,34 @@ def test_retention_drops_only_expired(spark, transcripts, tmp_path):
     assert isinstance(dropped["raw"], list)
     # 1d tier untouched by retention
     assert INC.read_tier(spark, wd, "1d").count() == before_1d
+
+
+def test_skimp_memo_no_recompute(spark, transcripts, tmp_path):
+    """Widening the window sweep recomputes only the missing
+    (conv_id, metric, w) keys; a clean re-run computes nothing."""
+    from matrixprofile_spark.operators import profile as P
+
+    tok = S.token_count_series(transcripts)
+    packed = P.pack_series(tok).where("n >= 64").cache()
+    n_series = packed.count()
+    wd = str(tmp_path / "memo")
+
+    n1 = INC.run_skimp_memo(spark, packed, wd, windows=[8, 16])
+    assert n1 == 2 * n_series
+    # re-run: zero recomputed windows
+    assert INC.run_skimp_memo(spark, packed, wd, windows=[8, 16]) == 0
+    # widen the sweep: only w=32 is missing
+    assert INC.run_skimp_memo(spark, packed, wd, windows=[8, 16, 32]) == n_series
+    # the resumed store equals a from-scratch sweep, row for row
+    store = INC.read_skimp_store(spark, wd)
+    direct = P.skimp_profiles(packed, windows=[8, 16, 32], packed=True)
+    a = store.select("conv_id", "metric", "w", "mp").toPandas()
+    b = direct.select("conv_id", "metric", "w", "mp").toPandas()
+    key = ["conv_id", "metric", "w"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b) == 3 * n_series
+    for i in range(len(a)):
+        np.testing.assert_array_equal(np.asarray(a["mp"][i]),
+                                      np.asarray(b["mp"][i]))
+    packed.unpersist()
