@@ -684,6 +684,35 @@ def _q_lsh_buckets(spark, sf_dir):
     return SIM.hyperplane_lsh_buckets(emb, planes=8)
 
 
+def _emb_corpus(spark, sf_dir):
+    """embeddings ∪ exact dups (vec_id+10000, vec_id%10==0) ∪ near dups
+    (vec_id+20000, first dimension negated — exact fp, vec_id%7==0);
+    the oracle builds the identical corpus in SQL."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    exact = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    flip = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    return emb.unionByName(exact).unionByName(flip)
+
+
+def _q_dedup_embed_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over a corpus with planted exact
+    and one-dim-flipped duplicates; LSH-bucketed candidates only."""
+    from matrixprofile_spark.operators import similarity as SIM
+
+    out = SIM.embedding_near_dup_pairs(_emb_corpus(spark, sf_dir),
+                                       threshold=0.9, planes=8)
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos_r4"))
+
+
 def _q_segment_roundtrip(spark, sf_dir):
     """decode(encode(series)) — the oracle is the raw series SQL itself,
     so the driver verifies bit-exact value recovery through the
@@ -737,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_lsh_buckets": _q_lsh_buckets,
+        "dedup_embed_cosine": _q_dedup_embed_cosine,
         "segment_roundtrip": _q_segment_roundtrip,
         "segment_stats": _q_segment_stats,
         "incremental_manifest": _q_incremental_manifest,
@@ -1252,6 +1282,46 @@ sums AS (
 SELECT id, CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS bucket
 FROM sums GROUP BY id
+""".strip(),
+        "dedup_embed_cosine": f"""
+WITH ecorpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS id, embedding FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 20000 AS id,
+         list_prepend(-embedding[1], embedding[2:64]) AS embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+ex AS (
+  SELECT id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM ecorpus, range(1, 65) r(i)
+),
+sums AS (
+  SELECT id, p.plane,
+         sum(CASE WHEN CAST(('0x' || substr(md5(
+                      CAST(p.plane AS VARCHAR) || ',' || CAST(pos AS VARCHAR)
+                    ), 1, 15)) AS UBIGINT) % 2 = 0
+                  THEN v ELSE -v END) AS dot
+  FROM ex, range(0, 8) p(plane) GROUP BY 1, 2
+),
+buckets AS (
+  SELECT id, CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, plane) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS bucket
+  FROM sums GROUP BY id
+),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         {_COS_FOLD.format(a='ea.embedding', b='eb.embedding')} AS cos
+  FROM cand c
+  JOIN ecorpus ea ON ea.id = c.id_a
+  JOIN ecorpus eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 4) AS cos_r4 FROM scored WHERE cos >= 0.9
 """.strip(),
         "salted_mpx_hot": f"""
 WITH transcripts AS ({_T}),

@@ -108,6 +108,33 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, planes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets
+    generate the candidates (intra-bucket equi-join — never all-pairs),
+    exact cosine filters them to `threshold`.
+
+    At 100 TB this is the vector twin of MinHash-LSH dedup: the shuffle
+    key is the bucket (uniform by construction), candidate volume is
+    bounded by bucket sizes, and recall is tunable via `planes` (fewer
+    planes → bigger buckets → higher recall, more scoring work)."""
+    buckets = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(buckets, "id")
+    a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                    "bucket")
+    b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                    "bucket")
+    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a", "id_b", _cos(F.col("vec_a"), F.col("vec_b")).alias("cos")
+    )
+    return scored.where(F.col("cos") >= threshold)
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame, planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
