@@ -65,6 +65,24 @@ def _q_transcripts(spark, sf_dir):
     )
 
 
+def _q_transcripts_csv_roundtrip(spark, sf_dir):
+    """CSV export → explicit-schema CSV ingestion (sources/ingest,
+    datasets.py:48-219 analog) — must reproduce the transcript table
+    bit-for-bit, so it shares the generator oracle."""
+    import tempfile
+
+    from matrixprofile_spark.sources import ingest
+
+    t = _transcripts(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="mp_spark_csv_")
+    ingest.write_transcripts_csv(t, f"{wd}/t")
+    back = ingest.read_transcripts_csv(spark, f"{wd}/t")
+    return back.select(
+        "conv_id", F.col("turn_idx").cast("bigint").alias("turn_idx"),
+        "role", "text", "tool", "ts_epoch",
+    )
+
+
 def _q_series_latency(spark, sf_dir):
     return S.latency_series(_transcripts(spark, sf_dir))
 
@@ -795,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_mpdist": _q_pairwise_mpdist,
         "salted_mpx_hot": _q_salted_mpx,
         "transcripts": _q_transcripts,
+        "transcripts_csv_roundtrip": _q_transcripts_csv_roundtrip,
         "series_latency": _q_series_latency,
         "series_token_count": _q_series_token_count,
         "turn_rate_1m": _q_turn_rate_1m,
@@ -2182,4 +2201,6 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     out["motifs_top3"] = _motifs_oracle_sql()
     # the resumed memo store must equal the from-scratch sweep
     out["skimp_memo_resume"] = out["skimp_pmp"]
+    # CSV round-trip must reproduce the generator table bit-for-bit
+    out["transcripts_csv_roundtrip"] = out["transcripts"]
     return out

@@ -188,3 +188,18 @@ def test_skimp_memo_no_recompute(spark, transcripts, tmp_path):
         np.testing.assert_array_equal(np.asarray(a["mp"][i]),
                                       np.asarray(b["mp"][i]))
     packed.unpersist()
+
+
+def test_csv_ingestion_roundtrip(spark, transcripts, tmp_path):
+    """CSV export → read_transcripts_csv: per-turn text equality under
+    stable (conv_id, turn_idx) ordering (the input_hint invariant)."""
+    from matrixprofile_spark.sources import ingest
+
+    path = str(tmp_path / "csv")
+    ingest.write_transcripts_csv(transcripts, path)
+    back = ingest.read_transcripts_csv(spark, path)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts_epoch"]
+    a = transcripts.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    b = back.select(cols).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert "ts" in back.columns
