@@ -583,6 +583,22 @@ def _q_profile_json_roundtrip(spark, sf_dir):
 _STREAM_SEQ = [0]
 
 
+def _q_stream_stateful_stats(spark, sf_dir):
+    """Per-series running statistics as a STATEFUL stream
+    (applyInPandasWithState; state carries across micro-batches);
+    final state must equal the batch statistics oracle."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import stream_stateful_stats
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    wd = tempfile.mkdtemp(prefix="mp_spark_state_")
+    ser.write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    return stream_stateful_stats(spark, f"{wd}/src",
+                                 query_name=f"state_stats_{_STREAM_SEQ[0]}")
+
+
 def _q_stream_rollup_1m(spark, sf_dir):
     """raw→1m rollup via Structured Streaming (file source, event-time
     windows, availableNow trigger); must equal the batch rollup oracle."""
@@ -819,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_rate_1m": _q_turn_rate_1m,
         "rollup_1m": _q_rollup("1m"),
         "stream_rollup_1m": _q_stream_rollup_1m,
+        "stream_stateful_stats": _q_stream_stateful_stats,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
@@ -2085,6 +2102,14 @@ SELECT conv_id, metric,
        max(value) AS vmax, sum(value * value) AS sum_sq
 FROM series WHERE value IS NOT NULL AND conv_id < 'conv-00100'
 GROUP BY 1, 2, 3
+""".strip(),
+        "stream_stateful_stats": f"""
+WITH {_SERIES_CTE}
+SELECT conv_id, metric, count(value) AS cnt, sum(value) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       sum(value * value) AS sum_sq, sum(value) / count(value) AS mean
+FROM series WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+GROUP BY 1, 2
 """.strip(),
         "rollup_1h": _rollup_oracle(3600),
         "rollup_1d": _rollup_oracle(86400),

@@ -20,12 +20,95 @@ is lost).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SERIES_SCHEMA = (
     "conv_id string, metric string, idx long, ts_epoch long, value double"
 )
+
+
+def stream_stateful_stats(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "stream_stateful_stats",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-series
+    running statistics whose state (cnt/sum/min/max/sum_sq) carries
+    ACROSS micro-batches — the engine's `statistics` operator
+    (reference statistics.py:15-90) as a continuously-updating stream.
+
+    The sketch is commutative/associative, so arbitrary file→batch
+    ordering cannot change the final state (and integer-valued metrics
+    make the float64 sums exact — the end state hash-matches the batch
+    oracle). Every state update emits a snapshot tagged with a
+    monotonically increasing `upd`; the caller keeps the last snapshot
+    per key. A production job would use update-mode into an upsert sink
+    keyed by (conv_id, metric)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "conv_id string, metric string, upd int, cnt long, vsum double, "
+        "vmin double, vmax double, sum_sq double"
+    )
+    state_schema = (
+        "cnt long, vsum double, vmin double, vmax double, sum_sq double, "
+        "upd int"
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            cnt, vsum, vmin, vmax, ssq, upd = state.get
+        else:
+            cnt, vsum, vmin, vmax, ssq, upd = 0, 0.0, None, None, 0.0, 0
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            if not len(vals):
+                continue
+            cnt += int(len(vals))
+            vsum += float(vals.sum())
+            ssq += float((vals * vals).sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+        upd += 1
+        state.update((cnt, vsum, vmin, vmax, ssq, upd))
+        yield pd.DataFrame([{
+            "conv_id": key[0], "metric": key[1], "upd": upd, "cnt": cnt,
+            "vsum": vsum, "vmin": vmin, "vmax": vmax, "sum_sq": ssq,
+        }])
+
+    src = (
+        spark.readStream.schema(SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_path)
+    )
+    snapshots = (
+        src.groupBy("conv_id", "metric")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        snapshots.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_snaps = spark.table(query_name)
+    w = F.row_number().over(
+        Window.partitionBy("conv_id", "metric").orderBy(F.desc("upd"))
+    )
+    return (
+        all_snaps.withColumn("_rn", w)
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "metric", "cnt", "vsum", "vmin", "vmax",
+                "sum_sq", (F.col("vsum") / F.col("cnt")).alias("mean"))
+    )
 
 
 def stream_rollup_1m(
