@@ -445,3 +445,30 @@ def test_pmp_discords_and_motifs(sampledata):
     assert p["discords"].shape[1] == 2  # (row, col) pairs
     p = W.motifs(p)
     assert all(len(m["motifs"]) == 2 for m in p["motifs"])
+
+
+def test_native_kernel_matches_numpy(monkeypatch):
+    """Compiled diagonal scan vs the NumPy blocked kernel: same mp to fp
+    rounding of the seed dot product, on self-join, diag_range partials,
+    and both AB-join sides."""
+    from matrixprofile_spark.kernels import _native
+    from matrixprofile_spark.kernels import mpx as M
+
+    if not _native.available():
+        pytest.skip("no compiler on this host")
+    rng = np.random.RandomState(7)
+    x = np.cumsum(rng.randn(3000))
+    y = np.cumsum(rng.randn(2200))
+
+    mp_n, _ = M.mpx_self_join(x, 24)
+    part_n = M.mpx_self_join(x, 24, diag_range=(100, 400))
+    ab_n = M.mpx_ab_join(x, y, 24)
+    monkeypatch.setattr(M._native, "available", lambda: False)
+    mp_p, _ = M.mpx_self_join(x, 24)
+    part_p = M.mpx_self_join(x, 24, diag_range=(100, 400))
+    ab_p = M.mpx_ab_join(x, y, 24)
+
+    np.testing.assert_allclose(mp_n, mp_p, atol=1e-7)
+    np.testing.assert_allclose(part_n[0], part_p[0], atol=1e-10)
+    np.testing.assert_allclose(ab_n[0], ab_p[0], atol=1e-7)
+    np.testing.assert_allclose(ab_n[2], ab_p[2], atol=1e-7)
