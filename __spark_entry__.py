@@ -244,6 +244,15 @@ def _q_regimes(spark, sf_dir):
 
 
 def _q_snippets(spark, sf_dir):
+    """Representative snippets (snippets.py:17-126). No DuckDB oracle:
+    each iteration takes an argmin over a FRACTION-of-total curve built
+    from the running elementwise minimum of all previously-picked
+    snippets' MPdist vectors — a data-dependent fixpoint over an
+    n×n/16 matrix with no closed SQL form (the suppression-CTE trick
+    used for motifs/discords needs a fixed number of scalar picks, not
+    a mutable matrix). Pinned instead by the golden test
+    (test_kernels.py: snippet indices 384/704 on the reference fixture)
+    and the rows-only driver check."""
     chosen = _chosen_token_series(spark, sf_dir)
     return P.snippet_profiles(chosen, 32, window_size=16, packed=True).select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
@@ -481,16 +490,26 @@ def _q_moving_median_w8(spark, sf_dir):
 
 
 def _q_max_subsequence(spark, sf_dir):
-    """Per-series maximum_subsequence window search (skimp.py:246-384);
-    non-SQL-expressible (adaptive doubling/refine loop) → rows-only check."""
+    """Per-series maximum_subsequence window search (skimp.py:246-384).
+    No DuckDB oracle: the doubling/refine loop CHOOSES each next window
+    from the previous iteration's correlation extremum, so the set of
+    windows ever evaluated is data-dependent — a faithful SQL twin would
+    need the full O(n³) corr tensor over every possible width. Covered
+    by the golden test (36/68 pinned on the reference fixture) and the
+    rows-only driver check."""
     chosen = _chosen_token_series(spark, sf_dir)
     return P.max_subsequence_windows(chosen, threshold=0.95, packed=True)
 
 
 def _q_hcluster_assign(spark, sf_dir):
     """Hierarchical clustering of conversations by pairwise MPDist
-    (hierarchical_clustering.py:18-146); linkage is driver-side over the
-    collected m×m condensed matrix → rows-only check."""
+    (hierarchical_clustering.py:18-146). No DuckDB oracle: single-link
+    agglomeration is an m-step sequential merge where every step's
+    nearest-pair depends on all prior merges — expressible only as a
+    recursive query over a mutable forest, which DuckDB's RECURSIVE CTEs
+    cannot hash-match deterministically against scipy-style tie handling.
+    The linkage/fcluster kernels are unit-tested (duplicate-grouping
+    pinned) and the input pairwise_mpdist table is itself oracle-green."""
     chosen = _chosen_token_series(spark, sf_dir)
     pd_ = P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True)
     return P.hierarchical_assignments(pd_, t=2, criterion="maxclust")
