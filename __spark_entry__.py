@@ -233,6 +233,20 @@ def _q_motifs(spark, sf_dir):
     )
 
 
+def _q_global_discords(spark, sf_dir):
+    """Cross-conversation top-10 discords: per-series discoveries
+    exploded, distances looked up in the profile table, one global
+    TakeOrderedAndProject (deterministic ties: conv_id, idx)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    disc = P.with_discoveries(prof, chosen, packed=True)
+    out = P.global_top_discords(disc, prof, k=10)
+    return out.select(
+        "conv_id", "metric", F.col("idx").cast("bigint").alias("idx"),
+        F.round("distance", 2).alias("dist_r2"),
+    )
+
+
 def _q_regimes(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
@@ -838,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hcluster_assign": _q_hcluster_assign,
         "mstomp_w16": _q_mstomp_w16,
         "discords_top3": _q_discords,
+        "global_discords_top10": _q_global_discords,
         "motifs_top3": _q_motifs,
         "regimes": _q_regimes,
         "snippets": _q_snippets,
@@ -2070,6 +2085,49 @@ SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank,
 UNION ALL
 SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank,
        CAST(k AS BIGINT) AS idx FROM p3f
+""".strip(),
+        "global_discords_top10": f"""
+WITH {_CHOSEN_CTE},
+{_mpx_block_sql(_MPX_W, "sub", "g")},
+mp AS (
+  SELECT conv_id, i AS idx, sqrt(2 * {_MPX_W} * (1 - least(max(c), 1.0))) AS dist
+  FROM cg GROUP BY 1, 2
+),
+p1 AS (
+  SELECT conv_id, idx, dist FROM (
+    SELECT conv_id, idx, dist, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM mp
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT mp.* FROM mp JOIN p1 USING (conv_id)
+  WHERE NOT (mp.idx >= p1.idx - 4 AND mp.idx < p1.idx + 4)
+),
+p2 AS (
+  SELECT conv_id, idx, dist FROM (
+    SELECT conv_id, idx, dist, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m2
+  ) WHERE rn = 1
+),
+m3 AS (
+  SELECT m2.* FROM m2 JOIN p2 USING (conv_id)
+  WHERE NOT (m2.idx >= p2.idx - 4 AND m2.idx < p2.idx + 4)
+),
+p3 AS (
+  SELECT conv_id, idx, dist FROM (
+    SELECT conv_id, idx, dist, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m3
+  ) WHERE rn = 1
+),
+allp AS (
+  SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+)
+SELECT conv_id, 'token_count' AS metric, CAST(idx AS BIGINT) AS idx,
+       round(dist, 2) AS dist_r2
+FROM (
+  SELECT *, row_number() OVER (ORDER BY dist DESC, conv_id, idx) AS rn
+  FROM allp
+) WHERE rn <= 10
 """.strip(),
         "moving_median_w8": f"""
 WITH transcripts AS ({_T}),

@@ -44,8 +44,11 @@ SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 # dense series give the 1m tier a real 60:1 reduction (agent transcripts
 # emit turns every few seconds; 67 s average gaps would make the 1m
 # rollup a no-op shuffle of ~1-point buckets).
+# probe task size tracks the compiled kernel: at len 4096 a native MPX
+# task is ~16 ms and scheduling overhead poisons the scaling law; 8192
+# gives ~65 ms tasks (2048 of them, ~8 s at 16 cores)
 PROBE_SERIES = int(os.environ.get("SPARK_GRAFT_PROBE_SERIES", "2048"))
-PROBE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_LEN", "4096"))
+PROBE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_LEN", "8192"))
 PROBE_CASCADE_SERIES = int(os.environ.get("SPARK_GRAFT_PROBE_CASCADE_SERIES", "2048"))
 PROBE_CASCADE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_CASCADE_LEN", "262144"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"

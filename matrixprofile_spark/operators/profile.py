@@ -614,6 +614,6 @@ def global_top_discords(discoveries: DataFrame, profiles: DataFrame, k: int = 10
             "conv_id", "metric", "w", "idx",
             F.element_at(F.col("mp"), F.col("idx").cast("int") + 1).alias("distance"),
         )
-        .orderBy(F.desc("distance"))
+        .orderBy(F.desc("distance"), "conv_id", "idx")
         .limit(k)
     )
