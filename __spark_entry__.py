@@ -113,6 +113,17 @@ def _q_gapfill_locf(spark, sf_dir):
     return gapfill.gapfill_locf(tok, 60, "forward")
 
 
+def _q_gapfill_window_mean(spark, sf_dir):
+    """Sliding-window mean imputation over the densified grid
+    (preprocess.py:202-222 one-shot semantics): each NULL grid point
+    takes the mean of the previous 5 grid values."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    out = gapfill.fill_window_stat(gapfill.to_grid(tok, 60), window=5,
+                                   method="mean", direction="forward")
+    return out.select("conv_id", "metric", "ts_epoch",
+                      F.round("value", 6).alias("value_r6"))
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -876,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
         "gapfill_locf": _q_gapfill_locf,
+        "gapfill_window_mean": _q_gapfill_window_mean,
         "moving_stats_w8": _q_moving_stats,
         "statistics_global": _q_statistics_global,
         "retention_view": _q_retention_view,
@@ -2233,6 +2245,37 @@ SELECT conv_id, metric, ts_epoch,
        coalesce(value, last_value(value IGNORE NULLS) OVER
          (PARTITION BY conv_id, metric ORDER BY ts_epoch
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value
+FROM j
+""".strip(),
+        "gapfill_window_mean": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+b AS (
+  SELECT conv_id, metric, CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS ts_epoch,
+         sum(value) / count(value) AS value
+  FROM tok GROUP BY 1, 2, 3
+),
+spans AS (
+  SELECT conv_id, metric, min(ts_epoch) AS t0, max(ts_epoch) AS t1
+  FROM b GROUP BY 1, 2
+),
+grid AS (
+  SELECT conv_id, metric,
+         unnest(generate_series(t0, t1, 60)) AS ts_epoch
+  FROM spans
+),
+j AS (
+  SELECT g.conv_id, g.metric, g.ts_epoch, b.value
+  FROM grid g LEFT JOIN b USING (conv_id, metric, ts_epoch)
+)
+SELECT conv_id, metric, ts_epoch,
+       round(coalesce(value, avg(value) OVER
+         (PARTITION BY conv_id, metric ORDER BY ts_epoch
+          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 6) AS value_r6
 FROM j
 """.strip(),
         "moving_stats_w8": f"""
