@@ -834,6 +834,15 @@ def _q_incremental_manifest(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Queries lacking a round-2 driver-oracle row come first so they are
+        # guaranteed to land inside the driver's correctness window.
+        "gapfill_window_mean": _q_gapfill_window_mean,
+        "gapfill_locf": _q_gapfill_locf,
+        "rollup_1d": _q_rollup("1d"),
+        "rollup_1h_stats": _q_rollup_1h_stats,
+        "moving_stats_w8": _q_moving_stats,
+        "statistics_global": _q_statistics_global,
+        "retention_view": _q_retention_view,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -884,13 +893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_json_roundtrip": _q_profile_json_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
-        "rollup_1d": _q_rollup("1d"),
-        "rollup_1h_stats": _q_rollup_1h_stats,
-        "gapfill_locf": _q_gapfill_locf,
-        "gapfill_window_mean": _q_gapfill_window_mean,
-        "moving_stats_w8": _q_moving_stats,
-        "statistics_global": _q_statistics_global,
-        "retention_view": _q_retention_view,
     }
 
 
