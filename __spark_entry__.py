@@ -185,7 +185,7 @@ def _q_mpx_w16(spark, sf_dir):
     """MPX profile, oracle-checked against a DuckDB brute-force
     z-normalized-distance self-join, rounded to 2 decimals."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
     exploded = prof.select(
         "conv_id", F.posexplode("mp").alias("idx", "dist")
     )
@@ -221,8 +221,8 @@ def _q_mass2_w16(spark, sf_dir):
 
 def _q_discords(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
-    disc = P.with_discoveries(prof, chosen, packed=True)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
     return disc.select(
         "conv_id", "metric",
         F.posexplode("discords").alias("rank", "idx"),
@@ -232,8 +232,8 @@ def _q_discords(spark, sf_dir):
 
 def _q_motifs(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
-    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4, n_groups=5)
     return disc.select(
         "conv_id", "metric",
         F.posexplode("motif_pairs").alias("rank", "pair"),
@@ -249,8 +249,8 @@ def _q_global_discords(spark, sf_dir):
     exploded, distances looked up in the profile table, one global
     TakeOrderedAndProject (deterministic ties: conv_id, idx)."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
-    disc = P.with_discoveries(prof, chosen, packed=True)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
     out = P.global_top_discords(disc, prof, k=10)
     return out.select(
         "conv_id", "metric", F.col("idx").cast("bigint").alias("idx"),
@@ -260,8 +260,8 @@ def _q_global_discords(spark, sf_dir):
 
 def _q_regimes(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
-    disc = P.with_discoveries(prof, chosen, packed=True)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
     return disc.select(
         "conv_id", "metric", F.posexplode("regimes").alias("rank", "idx")
     ).select("conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
@@ -279,7 +279,7 @@ def _q_snippets(spark, sf_dir):
     (test_kernels.py: snippet indices 384/704 on the reference fixture)
     and the rows-only driver check."""
     chosen = _chosen_token_series(spark, sf_dir)
-    return P.snippet_profiles(chosen, 32, window_size=16, packed=True).select(
+    return P.snippet_profiles(chosen, 32, window_size=16, packed=True, n_groups=5).select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
         "index", F.round("fraction", 6).alias("fraction_r6"),
         "neighbor_count",
@@ -288,7 +288,7 @@ def _q_snippets(spark, sf_dir):
 
 def _q_skimp_pmp(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True, n_groups=5)
     return prof.select(
         "conv_id", "metric", "w",
         F.posexplode("mp").alias("idx", "dist"),
@@ -308,8 +308,8 @@ def _q_skimp_memo(spark, sf_dir):
 
     chosen = _chosen_token_series(spark, sf_dir)
     wd = tempfile.mkdtemp(prefix="mp_spark_skimp_memo_")
-    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16])
-    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16, 32])
+    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16], n_groups=10)
+    INC.run_skimp_memo(spark, chosen, wd, windows=[8, 16, 32], n_groups=15)
     store = INC.read_skimp_store(spark, wd)
     return store.select(
         "conv_id", "metric", "w", F.posexplode("mp").alias("idx", "dist")
@@ -323,8 +323,8 @@ def _q_pmp_discords(spark, sf_dir):
     2-D dispatch (top_k_discords.py:16-91); oracle = chained-CTE argmax
     with per-row exclusion ez = floor(w/2)."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
-    out = P.pmp_discords(prof, k=3)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True, n_groups=5)
+    out = P.pmp_discords(prof, k=3, n_groups=5)
     return out.select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
         "w", F.col("idx").cast("bigint").alias("idx"),
@@ -340,8 +340,8 @@ def _q_pmp_motifs(spark, sf_dir):
     kernel unit test (test_kernels.py::test_pmp_discords_and_motifs)
     and a rows-only driver check."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True)
-    out = P.pmp_motifs(prof, chosen, k=3, packed=True)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True, n_groups=5)
+    out = P.pmp_motifs(prof, chosen, k=3, packed=True, n_groups=5)
     return out.select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
         "w", F.col("first_idx").cast("bigint").alias("first_idx"),
@@ -389,7 +389,7 @@ def _q_stomp_w16(spark, sf_dir):
     """STOMP exact profile (FFT seed + O(1) rolling update, ez=ceil(w/2));
     oracle = brute-force SQL with the stomp exclusion zone."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True, n_groups=5)
     e = prof.select("conv_id", F.posexplode("mp").alias("idx", "dist"))
     return _finite(e).select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
@@ -401,7 +401,7 @@ def _q_stomp_left_w16(spark, sf_dir):
     """STOMP left profile lmp (stomp.py:170-184): nearest neighbor among
     j ≤ i − ez − 1 only; +inf edges dropped on both sides."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True, n_groups=5)
     e = prof.select("conv_id", F.posexplode("lmp").alias("idx", "dist"))
     return _finite(e).select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
@@ -414,7 +414,7 @@ def _q_stomp_right_w16(spark, sf_dir):
     only (reference golden contract /root/reference/tests/
     test_stomp.py:38-58); +inf edges dropped on both sides."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.stomp_profiles(chosen, _MPX_W, packed=True)
+    prof = P.stomp_profiles(chosen, _MPX_W, packed=True, n_groups=5)
     e = prof.select("conv_id", F.posexplode("rmp").alias("idx", "dist"))
     return _finite(e).select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
@@ -426,7 +426,7 @@ def _q_scrimp_exact_w16(spark, sf_dir):
     """SCRIMP++ at sample_pct=1.0 — all diagonals visited, so the result
     is exact and shares the MPX brute-force oracle."""
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.scrimp_profiles(chosen, _MPX_W, sample_pct=1.0, packed=True)
+    prof = P.scrimp_profiles(chosen, _MPX_W, sample_pct=1.0, packed=True, n_groups=5)
     e = prof.select("conv_id", F.posexplode("mp").alias("idx", "dist"))
     return e.select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
@@ -467,7 +467,7 @@ def _q_av_cmp_w16(spark, sf_dir):
     """Corrected matrix profile under the complexity annotation vector
     (transform.py:131-179 + apply_av 15-87)."""
     chosen = _chosen_token_series(spark, sf_dir)
-    out = P.cmp_profiles(chosen, _MPX_W, av="complexity", packed=True)
+    out = P.cmp_profiles(chosen, _MPX_W, av="complexity", packed=True, n_groups=5)
     return out.select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
         F.round("cmp", 2).alias("cmp_r2"),
@@ -478,7 +478,7 @@ def _q_av_meanstd_w16(spark, sf_dir):
     """Corrected MP under the meanstd annotation vector
     (transform.py:182-227: av = 1 where moving_std < mean(moving_std))."""
     chosen = _chosen_token_series(spark, sf_dir)
-    out = P.cmp_profiles(chosen, _MPX_W, av="meanstd", packed=True)
+    out = P.cmp_profiles(chosen, _MPX_W, av="meanstd", packed=True, n_groups=5)
     return out.select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
         F.round("cmp", 2).alias("cmp_r2"),
@@ -490,7 +490,7 @@ def _q_av_clipping_w16(spark, sf_dir):
     (transform.py:230-285: windowed count of global-min/max hits,
     min-shifted and max-normalized, inverted)."""
     chosen = _chosen_token_series(spark, sf_dir)
-    out = P.cmp_profiles(chosen, _MPX_W, av="clipping", packed=True)
+    out = P.cmp_profiles(chosen, _MPX_W, av="clipping", packed=True, n_groups=5)
     return out.select(
         "conv_id", F.col("idx").cast("bigint").alias("idx"),
         F.round("cmp", 2).alias("cmp_r2"),
@@ -523,7 +523,7 @@ def _q_max_subsequence(spark, sf_dir):
     by the golden test (36/68 pinned on the reference fixture) and the
     rows-only driver check."""
     chosen = _chosen_token_series(spark, sf_dir)
-    return P.max_subsequence_windows(chosen, threshold=0.95, packed=True)
+    return P.max_subsequence_windows(chosen, threshold=0.95, packed=True, n_groups=5)
 
 
 def _q_hcluster_assign(spark, sf_dir):
@@ -612,7 +612,7 @@ def _q_profile_json_roundtrip(spark, sf_dir):
     )
 
     chosen = _chosen_token_series(spark, sf_dir)
-    prof = P.mpx_profiles(chosen, _MPX_W, packed=True)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
     path = tempfile.mkdtemp(prefix="mp_spark_json_") + "/profiles"
     write_profiles_json(prof, path)
     back = read_profiles_json(spark, path)

@@ -119,23 +119,32 @@ def _too_short(values: np.ndarray, w: int) -> bool:
     return len(values) < 2 * w
 
 
-def _kernel_parts(df: DataFrame) -> int:
-    """Task count for grouped-kernel stages: 8× cores.
+def _kernel_parts(df: DataFrame, n_groups: int | None = None) -> int:
+    """Task count for grouped-kernel stages: 8× cores, bounded by groups.
 
     Kernel stages are CPU-bound with O(n²) flops per O(n) bytes, so
     AQE's byte-based coalescing would under-partition them; instead the
     operators repartition by the group key with an explicit count
     (REPARTITION_BY_NUM — AQE honors it), fine-grained enough that
-    multi-wave scheduling packs uneven groups without stragglers."""
-    return df.sparkSession.sparkContext.defaultParallelism * 8
+    multi-wave scheduling packs uneven groups without stragglers.
+
+    When the caller knows the group count (a chosen fixture, a bounded
+    worklist), partitions beyond it are guaranteed-empty tasks; bound
+    the count by ``max(cores, n_groups)`` so few-group jobs don't pay
+    8×-cores empty-task scheduling per chained stage."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if n_groups is not None:
+        return min(cores * 8, max(cores, n_groups))
+    return cores * 8
 
 
-def _grouped(src: DataFrame, *cols: str):
+def _grouped(src: DataFrame, *cols: str, n_groups: int | None = None):
     """Group for a kernel stage with work-balanced explicit partitioning."""
-    return src.repartition(_kernel_parts(src), *cols).groupBy(*cols)
+    return src.repartition(_kernel_parts(src, n_groups), *cols).groupBy(*cols)
 
 
-def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
+def mpx_profiles(series: DataFrame, w: int, packed: bool = False,
+                 n_groups: int | None = None) -> DataFrame:
     """Exact MPX matrix profile per series (mpx.py:20-100 per group).
 
     Series shorter than 2w are dropped (the reference raises there;
@@ -150,10 +159,11 @@ def mpx_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
             return _profile_row(key, W.mpx_profile(values, w)).iloc[0:0]
         return _profile_row(key, W.mpx_profile(values, w))
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, PROFILE_SCHEMA)
 
 
-def stomp_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame:
+def stomp_profiles(series: DataFrame, w: int, packed: bool = False,
+                   n_groups: int | None = None) -> DataFrame:
     """STOMP with left/right profiles per series (stomp.py:196-377)."""
     src = series if packed else pack_series(series)
 
@@ -165,12 +175,12 @@ def stomp_profiles(series: DataFrame, w: int, packed: bool = False) -> DataFrame
                                       "algorithm": "stomp"}).iloc[0:0]
         return _profile_row(key, stomp(values, w))
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, PROFILE_SCHEMA)
 
 
 def scrimp_profiles(
     series: DataFrame, w: int, sample_pct: float = 0.1, seed: int = 0,
-    packed: bool = False,
+    packed: bool = False, n_groups: int | None = None,
 ) -> DataFrame:
     """SCRIMP++ approximate profile per series; the per-group seed is
     derived from the group key so results are reproducible across
@@ -191,7 +201,7 @@ def scrimp_profiles(
                                 random_state=gseed)
         return _profile_row(key, prof)
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, PROFILE_SCHEMA)
 
 
 def skimp_profiles(
@@ -201,6 +211,7 @@ def skimp_profiles(
     sample_pct: float = 1.0,
     seed: int = 0,
     packed: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Pan-matrix-profile: one profile row per (series, w).
 
@@ -214,8 +225,12 @@ def skimp_profiles(
 
     if windows is not None:
         spark = src.sparkSession
-        wdf = spark.createDataFrame([(int(x),) for x in windows], "w int")
-        return skimp_profiles_from_worklist(src.join(F.broadcast(wdf)))
+        wins = [int(x) for x in windows]
+        wdf = spark.createDataFrame([(x,) for x in wins], "w int")
+        return skimp_profiles_from_worklist(
+            src.join(F.broadcast(wdf)),
+            n_groups=None if n_groups is None else n_groups * len(wins),
+        )
 
     def fn_sweep(key, pdf):  # windows=None: in-kernel doubling search
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
@@ -239,10 +254,11 @@ def skimp_profiles(
             })
         return pd.DataFrame(rows)
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn_sweep, PROFILE_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn_sweep, PROFILE_SCHEMA)
 
 
-def skimp_profiles_from_worklist(worklist: DataFrame) -> DataFrame:
+def skimp_profiles_from_worklist(worklist: DataFrame,
+                                 n_groups: int | None = None) -> DataFrame:
     """One profile row per work-list row (conv_id, metric, values, w).
 
     The explicit work-list form exists so callers can prune it BEFORE
@@ -260,7 +276,7 @@ def skimp_profiles_from_worklist(worklist: DataFrame) -> DataFrame:
         out["algorithm"] = "skimp"
         return out
 
-    return _grouped(worklist, "conv_id", "metric", "w").applyInPandas(
+    return _grouped(worklist, "conv_id", "metric", "w", n_groups=n_groups).applyInPandas(
         fn_one, PROFILE_SCHEMA
     )
 
@@ -275,6 +291,7 @@ def with_discoveries(
     ez_override: int | None = None,
     packed: bool = False,
     zero_eps: float | None = None,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Append motifs/discords/regimes per profile row.
 
@@ -312,7 +329,7 @@ def with_discoveries(
             "regimes": reg,
         }])
 
-    return _grouped(joined, "conv_id", "metric", "w").applyInPandas(
+    return _grouped(joined, "conv_id", "metric", "w", n_groups=n_groups).applyInPandas(
         fn, DISCOVERY_SCHEMA
     )
 
@@ -320,6 +337,7 @@ def with_discoveries(
 def snippet_profiles(
     series: DataFrame, snippet_size: int, num_snippets: int = 2,
     window_size: int | None = None, packed: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Representative snippets per series (snippets.py:17-126)."""
     src = series if packed else pack_series(series)
@@ -340,7 +358,7 @@ def snippet_profiles(
             for i, s in enumerate(out)
         ])
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, SNIPPET_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, SNIPPET_SCHEMA)
 
 
 def pairwise_mpdist(
@@ -432,6 +450,7 @@ def ab_join_pairs(pairs: DataFrame, w: int) -> DataFrame:
 
 def cmp_profiles(
     series: DataFrame, w: int, av: str = "complexity", packed: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Corrected matrix profile: cmp = mp + (1 − av) · max(mp)
     (transform.py:15-87; complexity AV transform.py:131-179)."""
@@ -451,11 +470,12 @@ def cmp_profiles(
             "idx": np.arange(len(cmp_arr), dtype="int64"), "cmp": cmp_arr,
         })[cols]
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, CMP_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, CMP_SCHEMA)
 
 
 def max_subsequence_windows(
     series: DataFrame, threshold: float = 0.95, packed: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Per-series maximum_subsequence window search (skimp.py:246-384):
     a driver-free variant — the doubling/refine loop runs inside each
@@ -480,7 +500,7 @@ def max_subsequence_windows(
             "conv_id": key[0], "metric": key[1], "upper_window": int(uw),
         }])
 
-    return _grouped(src, "conv_id", "metric").applyInPandas(fn, MAXW_SCHEMA)
+    return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, MAXW_SCHEMA)
 
 
 def hierarchical_assignments(
@@ -540,7 +560,8 @@ def _pmp_rows_to_matrix(pdf: pd.DataFrame):
     return windows, pmp, pmpi
 
 
-def pmp_discords(pmp_profiles: DataFrame, k: int = 3) -> DataFrame:
+def pmp_discords(pmp_profiles: DataFrame, k: int = 3,
+                 n_groups: int | None = None) -> DataFrame:
     """Top-k discords over a pan-matrix-profile table — the reference's
     PMP dispatch (top_k_discords.py:16-91, served via :158-201): global
     2-D argmax with per-row exclusion ez = floor(w/2).
@@ -559,7 +580,7 @@ def pmp_discords(pmp_profiles: DataFrame, k: int = 3) -> DataFrame:
         return pd.DataFrame(
             rows, columns=["conv_id", "metric", "rank", "w", "idx"])
 
-    return _grouped(pmp_profiles, "conv_id", "metric").applyInPandas(
+    return _grouped(pmp_profiles, "conv_id", "metric", n_groups=n_groups).applyInPandas(
         fn, PMP_DISCORD_SCHEMA
     )
 
@@ -567,6 +588,7 @@ def pmp_discords(pmp_profiles: DataFrame, k: int = 3) -> DataFrame:
 def pmp_motifs(
     pmp_profiles: DataFrame, series: DataFrame, k: int = 3,
     max_neighbors: int = 10, radius: float = 3, packed: bool = False,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """Top-k motifs over a pan-matrix-profile table (top_k_motifs.py:
     16-171, served via :317-393): 2-D argmin pick, MASS re-query of the
@@ -595,7 +617,7 @@ def pmp_motifs(
         return pd.DataFrame(rows, columns=[
             "conv_id", "metric", "rank", "w", "first_idx", "second_idx"])
 
-    return _grouped(joined, "conv_id", "metric").applyInPandas(
+    return _grouped(joined, "conv_id", "metric", n_groups=n_groups).applyInPandas(
         fn, PMP_MOTIF_SCHEMA
     )
 

@@ -183,6 +183,7 @@ def read_skimp_store(spark: SparkSession, workdir: str) -> DataFrame | None:
 
 def run_skimp_memo(
     spark: SparkSession, packed: DataFrame, workdir: str, windows,
+    n_groups: int | None = None,
 ) -> int:
     """Memoized SKIMP sweep (the reference resumes a partially-computed
     pan-profile, skimp.py:195-206; here the profile table IS the memo).
@@ -209,7 +210,7 @@ def run_skimp_memo(
         have = store.select("conv_id", "metric", "w")
         work = work.join(F2.broadcast(have), ["conv_id", "metric", "w"],
                          "left_anti")
-    fresh = skimp_profiles_from_worklist(work)
+    fresh = skimp_profiles_from_worklist(work, n_groups=n_groups)
     path = _skimp_store_path(workdir)
     fresh.write.mode("append").partitionBy("w").parquet(path)
     return spark.read.parquet(path).count() - n_before
