@@ -120,10 +120,14 @@ def embedding_near_dup_pairs(
     key is the bucket (uniform by construction), candidate volume is
     bounded by bucket sizes, and recall is tunable via `planes` (fewer
     planes → bigger buckets → higher recall, more scoring work)."""
-    buckets = hyperplane_lsh_buckets(embeddings, planes, id_col, vec_col)
+    dims = int(
+        embeddings.select(F.size(vec_col).alias("d")).limit(1).first()["d"]
+    )
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).join(buckets, "id")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _bucket_expr(F.col(vec_col), planes, dims).alias("bucket"),
+    )
     a = vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
                     "bucket")
     b = vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
@@ -135,33 +139,50 @@ def embedding_near_dup_pairs(
     return scored.where(F.col("cos") >= threshold)
 
 
+def _plane_sign(plane: int, dim: int) -> float:
+    """±1 from md5("plane,dim") parity — identical to the SQL twin
+    `conv(substring(md5(concat_ws(',', p, d)), 1, 15), 16, 10) % 2`."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane},{dim}".encode()).hexdigest()
+    return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame, planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """Sign-sketch bucket per vector: bit p = sign(Σ_d s(p,d)·v_d) with
-    s(p,d) = ±1 from md5(p||','||d) parity — deterministic, no RNG."""
-    exploded = embeddings.select(
-        F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "v")
+    s(p,d) = ±1 from md5(p||','||d) parity — deterministic, no RNG.
+
+    The ±1 plane matrix is materialized driver-side (planes×dims
+    constants, a few KiB) and folded per row with zip_with/aggregate —
+    a pure map-side projection with NO shuffle, vs the naive
+    posexplode + double-groupBy formulation that amplifies every
+    vector into dims×planes rows through two exchanges. The fold
+    accumulates in index order, so the dot is bit-deterministic."""
+    if dims is None:
+        dims = int(
+            embeddings.select(F.size(vec_col).alias("d")).limit(1).first()["d"]
+        )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _bucket_expr(F.col(vec_col), planes, dims).alias("bucket"),
     )
-    planes_df = exploded.sparkSession.range(planes).select(
-        F.col("id").cast("int").alias("plane")
-    )
-    crossed = exploded.join(F.broadcast(planes_df))
-    sign = F.when(
-        F.conv(
-            F.substring(F.md5(F.concat_ws(",", F.col("plane"), F.col("pos"))), 1, 15),
-            16, 10,
-        ).cast("bigint") % 2 == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
-    sums = crossed.groupBy("id", "plane").agg(
-        F.sum(sign * F.col("v").cast("double")).alias("dot")
-    )
-    bits = sums.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("plane")))
-            .otherwise(F.lit(0.0))
-        ).cast("bigint").alias("bucket")
-    )
-    return bits
+
+
+def _bucket_expr(vec, planes: int, dims: int):
+    """The sign-sketch bucket as a single map-side column expression."""
+    bucket = F.lit(0).cast("bigint")
+    for p in range(planes):
+        s_lit = F.array(*[F.lit(_plane_sign(p, d)) for d in range(dims)])
+        dot = F.aggregate(
+            F.zip_with(vec, s_lit, lambda v, s: (v * s).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast(
+            "bigint"
+        )
+    return bucket
