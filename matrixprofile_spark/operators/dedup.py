@@ -74,9 +74,9 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band."""
-    banded = sigs.select(
+def _banded(sigs: DataFrame, bands: int) -> DataFrame:
+    """(id, band, bucket) rows — md5 of each signature band slice."""
+    return sigs.select(
         "id",
         F.explode(
             F.transform(
@@ -97,6 +97,32 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band.
+
+    A degenerate bucket (boilerplate text shared by millions of docs)
+    would emit O(bucket²) candidate pairs; buckets larger than
+    ``max_bucket`` are excluded from pair generation, bounding any one
+    bucket's fan-out to max_bucket²/2. The window count hash-partitions
+    on the same (band, bucket) key as the self-join, so the cap adds no
+    extra exchange. Audit what was skipped with `hot_lsh_buckets` —
+    members of a >max_bucket bucket are near-identical by construction,
+    so exact_dedup (or one representative per hot bucket) already
+    covers them; silently quadratic candidate joins do not."""
+    from pyspark.sql import Window
+
+    banded = _banded(sigs, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("bsz") <= max_bucket)
+            .drop("bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -108,6 +134,20 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 4) -> DataFrame:
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def hot_lsh_buckets(
+    sigs: DataFrame, bands: int = 4, max_bucket: int = 10_000,
+) -> DataFrame:
+    """(band, bucket, n_docs) for buckets the candidate join skipped —
+    the audit twin of lsh_candidate_pairs' cap, so a pipeline can count
+    or sample what was excluded instead of silently losing it."""
+    return (
+        _banded(sigs, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket)
     )
 
 

@@ -141,3 +141,48 @@ def test_stream_rollup_matches_batch(spark, arrays):
         got["vsum"].to_numpy(), want["vsum"].to_numpy(), atol=1e-9
     )
     assert (got["cnt"].to_numpy() == want["cnt"].to_numpy()).all()
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """An adversarial all-identical corpus lands in one bucket per band;
+    with the cap the candidate join emits at most max_bucket²/2 pairs
+    per band instead of O(n²), and the audit view names the skipped
+    buckets."""
+    from matrixprofile_spark.operators.dedup import (
+        hot_lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    n = 60
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated again and again here")
+         for i in range(n)],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs)
+    sigs = minhash_signatures(sh)
+
+    uncapped = lsh_candidate_pairs(sigs, bands=4, max_bucket=None)
+    assert uncapped.count() == n * (n - 1) // 2  # quadratic blow-up
+
+    capped = lsh_candidate_pairs(sigs, bands=4, max_bucket=10)
+    assert capped.count() == 0  # every bucket is hot -> no pair fan-out
+
+    hot = hot_lsh_buckets(sigs, bands=4, max_bucket=10).toPandas()
+    assert len(hot) == 4  # one hot bucket per band
+    assert (hot.n_docs == n).all()
+
+    # a mixed corpus: the cap only silences the hot bucket, distinct
+    # docs below the threshold still pair up when they truly collide
+    docs2 = docs.union(
+        spark.createDataFrame(
+            [(1000, "an entirely different small document"),
+             (1001, "an entirely different small document")],
+            "doc_id long, text string",
+        )
+    )
+    sigs2 = minhash_signatures(shingles(docs2))
+    pairs2 = lsh_candidate_pairs(sigs2, bands=4, max_bucket=10).toPandas()
+    assert set(map(tuple, pairs2[["id_a", "id_b"]].values)) == {(1000, 1001)}
