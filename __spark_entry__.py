@@ -332,16 +332,15 @@ def _q_pmp_discords(spark, sf_dir):
 
 
 def _q_pmp_motifs(spark, sf_dir):
-    """Top-3 motifs over the PMP (top_k_motifs.py:16-171). No DuckDB
-    oracle: the 2-D anytime pick interleaves MASS re-queries whose
-    argmin targets sit at true distance 0 for this integer-valued data,
-    so cross-engine fp tie-breaking is not reproducible at the PMP level
-    (the 1-D variant is oracle-checked as motifs_top3); covered by the
-    kernel unit test (test_kernels.py::test_pmp_discords_and_motifs)
-    and a rows-only driver check."""
+    """Top-3 motifs over the PMP (top_k_motifs.py:16-171), oracle-checked
+    against a generated 2-D suppression-CTE chain (per-window profile +
+    MASS re-query CTEs + row-major tie-breaking). zero_eps clamps
+    true-zero distances in both the profile cells and the MASS picks, so
+    cross-engine argmin ties break deterministically — the same mandate
+    that made the 1-D motifs_top3 oracle possible."""
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True, n_groups=5)
-    out = P.pmp_motifs(prof, chosen, k=3, packed=True, n_groups=5)
+    out = P.pmp_motifs(prof, chosen, k=3, packed=True, zero_eps=1e-4, n_groups=5)
     return out.select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
         "w", F.col("first_idx").cast("bigint").alias("first_idx"),
@@ -1161,6 +1160,182 @@ cm{rnd} AS MATERIALIZED (
     finals = [
         f"""SELECT conv_id, 'token_count' AS metric,
        CAST({rnd - 1} AS BIGINT) AS rank,
+       CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx
+FROM fs{rnd}""" for rnd in range(1, k + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
+
+
+def _pmp_motifs_oracle_sql(windows=(8, 16, 32), k: int = 3,
+                           max_neighbors: int = 10, radius: int = 3) -> str:
+    """DuckDB twin of pmp_top_k_motifs (reference top_k_motifs.py:16-171)
+    — the 2-D extension of _motifs_oracle_sql.
+
+    Per window w: diagonal-window-sum dot products → correlations
+    (d > ceil(w/4)) → per-idx max profile + argmax index (mpx
+    tie-breaking: c DESC, d ASC, nbr ASC) → all-pairs MASS distances.
+    The 2-D chain then repeats k times: global argmin over the UNION of
+    rows (dist ASC, window-row ASC, idx ASC — numpy's row-major argmin
+    given the zero_eps clamp), (first, second) from that row's index,
+    MASS re-query dp of window `first` masked only at this round's
+    first/second zones (the PMP kernel does NOT carry earlier rounds'
+    masks into dp — unlike the 1-D variant, it masks dp from the
+    ORIGINAL pmp), neighbor chain (nd ≤ radius·md, argmin dist ASC idx
+    ASC, each accepted neighbor masks dp and the row), and a carried
+    per-(row, cell, ez) mask for the profile. ez = floor(w/2) of the
+    round's pick."""
+    parts = [f"""WITH {_CHOSEN_CTE},
+prods AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i >= x.i
+)"""]
+    for rw, w in enumerate(windows):
+        minlag = -(-w // 4)
+        stats = f"s{w}"
+        parts.append(f""",
+{_w_stats_sql(w, stats)},
+qt{w} AS MATERIALIZED (
+  SELECT conv_id, d, i, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM prods
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+  ) WHERE cnt = {w}
+),
+co{w} AS (
+  SELECT q.conv_id, q.i, q.i + q.d AS j, q.d,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (q.qt - {w} * sa.mu * sb.mu)
+              / ({w} * sa.sig * sb.sig) END AS c
+  FROM qt{w} q
+  JOIN {stats} sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN {stats} sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
+  WHERE q.d > {minlag}
+),
+cb{w} AS MATERIALIZED (
+  SELECT conv_id, i AS idx, j AS nbr, d, c FROM co{w}
+  UNION ALL
+  SELECT conv_id, j AS idx, i AS nbr, d, c FROM co{w}
+),
+mpr{w} AS (
+  SELECT conv_id, {rw} AS rw, {w} AS w, idx,
+         CASE WHEN d0 < 1e-4 THEN 0.0 ELSE d0 END AS dist
+  FROM (
+    SELECT conv_id, idx, sqrt(2 * {w} * (1 - least(max(c), 1.0))) AS d0
+    FROM cb{w} GROUP BY 1, 2
+  )
+),
+pir{w} AS (
+  SELECT conv_id, {rw} AS rw, idx AS i, nbr AS j FROM (
+    SELECT conv_id, idx, nbr, row_number() OVER
+      (PARTITION BY conv_id, idx ORDER BY c DESC, d ASC, nbr ASC) AS rn
+    FROM cb{w}
+  ) WHERE rn = 1
+),
+pq{w} AS (
+  SELECT conv_id, i AS iq, i + d AS jt, qt FROM qt{w}
+  UNION ALL
+  SELECT conv_id, i + d AS iq, i AS jt, qt FROM qt{w} WHERE d > 0
+),
+msd{w} AS (
+  SELECT conv_id, {rw} AS rw, iq, jt,
+         CASE WHEN d0 < 1e-4 THEN 0.0 ELSE d0 END AS dist
+  FROM (
+    SELECT p.conv_id, p.iq, p.jt,
+      sqrt(greatest(
+        CASE WHEN st.sig < 1e-10 AND sq.sig < 1e-10 THEN 0.0
+             WHEN st.sig < 1e-10 THEN CAST({w} AS DOUBLE)
+             ELSE 2 * ({w} - (p.qt - {w} * st.mu * sq.mu)
+                  / (CASE WHEN st.sig * sq.sig = 0 THEN 1e-12
+                          ELSE st.sig * sq.sig END)) END, 0.0)) AS d0
+    FROM pq{w} p
+    JOIN {stats} st ON st.conv_id = p.conv_id AND st.i = p.jt
+    JOIN {stats} sq ON sq.conv_id = p.conv_id AND sq.i = p.iq
+  )
+)""")
+    mp2_union = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM mpr{w}" for w in windows)
+    pi_union = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM pir{w}" for w in windows)
+    ms_union = "\n  UNION ALL\n".join(
+        f"  SELECT * FROM msd{w}" for w in windows)
+    parts.append(f""",
+mp2 AS MATERIALIZED (
+{mp2_union}
+),
+piall AS MATERIALIZED (
+{pi_union}
+),
+msall AS MATERIALIZED (
+{ms_union}
+),
+cm0 AS (SELECT '' AS conv_id, CAST(NULL AS INTEGER) AS rw,
+        CAST(NULL AS BIGINT) AS c, CAST(NULL AS BIGINT) AS ez WHERE 1 = 0)""")
+    for rnd in range(1, k + 1):
+        prev_cm = f"cm{rnd - 1}"
+        parts.append(f""",
+mps{rnd} AS (
+  SELECT m.conv_id, m.rw, m.w, m.idx, m.dist FROM mp2 m
+  WHERE NOT EXISTS (SELECT 1 FROM {prev_cm} c WHERE c.conv_id = m.conv_id
+                    AND c.rw = m.rw
+                    AND m.idx BETWEEN c.c - c.ez AND c.c + c.ez)
+),
+pk{rnd} AS (
+  SELECT conv_id, rw, w, idx AS mi, dist AS md FROM (
+    SELECT conv_id, rw, w, idx, dist, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist ASC, rw ASC, idx ASC) AS rn
+    FROM mps{rnd}
+  ) WHERE rn = 1
+),
+fs{rnd} AS MATERIALIZED (
+  SELECT p.conv_id, p.rw, p.w, CAST(p.w // 2 AS BIGINT) AS ez,
+         least(p.mi, q.j) AS f, greatest(p.mi, q.j) AS s, p.md
+  FROM pk{rnd} p
+  JOIN piall q ON q.conv_id = p.conv_id AND q.rw = p.rw AND q.i = p.mi
+),
+dp{rnd} AS MATERIALIZED (
+  SELECT d.conv_id, d.jt AS idx, d.dist
+  FROM msall d JOIN fs{rnd} f ON f.conv_id = d.conv_id AND d.rw = f.rw
+                             AND d.iq = f.f
+  WHERE NOT (d.jt BETWEEN f.f - f.ez AND f.f + f.ez)
+    AND NOT (d.jt BETWEEN f.s - f.ez AND f.s + f.ez)
+),
+ncs{rnd}_0 AS (SELECT '' AS conv_id, CAST(NULL AS BIGINT) AS c,
+               CAST(NULL AS BIGINT) AS ez WHERE 1 = 0)""")
+        for i in range(1, max_neighbors + 1):
+            parts.append(f""",
+nb{rnd}_{i} AS (
+  SELECT conv_id, idx AS nb, dist AS nd FROM (
+    SELECT d.conv_id, d.idx, d.dist, row_number() OVER
+      (PARTITION BY d.conv_id ORDER BY d.dist ASC, d.idx ASC) AS rn
+    FROM dp{rnd} d
+    WHERE NOT EXISTS (SELECT 1 FROM ncs{rnd}_{i - 1} c
+                      WHERE c.conv_id = d.conv_id
+                      AND d.idx BETWEEN c.c - c.ez AND c.c + c.ez)
+  ) WHERE rn = 1
+),
+nv{rnd}_{i} AS (
+  SELECT n.conv_id, n.nb, f.ez FROM nb{rnd}_{i} n
+  JOIN fs{rnd} f ON f.conv_id = n.conv_id
+  WHERE n.nd <= {radius} * f.md
+),
+ncs{rnd}_{i} AS MATERIALIZED (
+  SELECT conv_id, c, ez FROM ncs{rnd}_{i - 1}
+  UNION ALL SELECT conv_id, nb AS c, ez FROM nv{rnd}_{i}
+)""")
+        parts.append(f""",
+cm{rnd} AS MATERIALIZED (
+  SELECT conv_id, rw, c, ez FROM {prev_cm}
+  UNION ALL SELECT conv_id, rw, f AS c, ez FROM fs{rnd}
+  UNION ALL SELECT conv_id, rw, s AS c, ez FROM fs{rnd}
+  UNION ALL SELECT n.conv_id, f.rw, n.c, n.ez
+            FROM ncs{rnd}_{max_neighbors} n
+            JOIN fs{rnd} f ON f.conv_id = n.conv_id
+)""")
+    finals = [
+        f"""SELECT conv_id, 'token_count' AS metric,
+       CAST({rnd - 1} AS BIGINT) AS rank, CAST(w AS INTEGER) AS w,
        CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx
 FROM fs{rnd}""" for rnd in range(1, k + 1)
     ]
@@ -2346,6 +2521,7 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     # profile shares the brute-force oracle verbatim
     out["profile_json_roundtrip"] = out["mpx_w16"]
     out["motifs_top3"] = _motifs_oracle_sql()
+    out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
     # the resumed memo store must equal the from-scratch sweep
     out["skimp_memo_resume"] = out["skimp_pmp"]
     # CSV round-trip must reproduce the generator table bit-for-bit

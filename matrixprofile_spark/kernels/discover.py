@@ -150,8 +150,14 @@ def pmp_top_k_motifs(
     k: int = 3,
     max_neighbors: int = 10,
     radius: float = 3,
+    zero_eps: float | None = None,
 ) -> dict:
-    """Motifs over a PMP, (row, col) indices (top_k_motifs.py:16-171)."""
+    """Motifs over a PMP, (row, col) indices (top_k_motifs.py:16-171).
+
+    zero_eps: same determinism clamp as top_k_motifs — distances below
+    eps collapse to exactly 0 before every argmin (profile cells AND the
+    MASS re-query), so true-zero ties break row-major (window asc, idx
+    asc) reproducibly across engines instead of by fp rounding luck."""
     ts = profile["data"]["ts"]
     data_len = len(ts)
     pmp = profile["pmp"]
@@ -163,6 +169,8 @@ def pmp_top_k_motifs(
     else:
         tmp = np.array(pmp, dtype=np.float64)
     tmp[~np.isfinite(tmp)] = np.inf
+    if zero_eps:
+        tmp[tmp < zero_eps] = 0.0
     motifs = []
     for _ in range(k):
         min_idx = np.unravel_index(np.argmin(tmp), tmp.shape)
@@ -174,6 +182,8 @@ def pmp_top_k_motifs(
         second = int(max(col, pmpi[row][col]))
         w = int(windows[row])
         dp = np.real(mass2(ts, ts[first : first + w]))
+        if zero_eps:
+            dp[dp < zero_eps] = 0.0
         dp = np.concatenate((dp, np.full(profile_len - len(dp), np.inf)))
         dp[~np.isfinite(pmp[row])] = np.inf
         ez = exclusion_zone if exclusion_zone else int(np.floor(w / 2))

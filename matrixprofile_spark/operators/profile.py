@@ -588,6 +588,7 @@ def pmp_discords(pmp_profiles: DataFrame, k: int = 3,
 def pmp_motifs(
     pmp_profiles: DataFrame, series: DataFrame, k: int = 3,
     max_neighbors: int = 10, radius: float = 3, packed: bool = False,
+    zero_eps: float | None = None,
     n_groups: int | None = None,
 ) -> DataFrame:
     """Top-k motifs over a pan-matrix-profile table (top_k_motifs.py:
@@ -606,7 +607,7 @@ def pmp_motifs(
             "metric": "euclidean", "data": {"ts": values},
         }
         out = D.pmp_top_k_motifs(prof, k=k, max_neighbors=max_neighbors,
-                                 radius=radius)
+                                 radius=radius, zero_eps=zero_eps)
         rows = [
             {"conv_id": key[0], "metric": key[1], "rank": i,
              "w": int(windows[m["motifs"][0][0]]),
