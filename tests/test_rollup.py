@@ -73,7 +73,7 @@ def _pandas_rollup(pdf: pd.DataFrame, tier_s: int) -> pd.DataFrame:
         vfirst=("value", "first"),
         vlast=("value", "last"),
     )
-    out["sum_sq"] = g.apply(lambda x: float(np.sum(x.value.values**2)))
+    out["sum_sq"] = g["value"].apply(lambda v: float(np.sum(v.values**2)))
     return out.reset_index()
 
 
@@ -163,3 +163,54 @@ def test_gapfill_window_stat_methods(transcripts):
         assert out.columns == ["conv_id", "metric", "ts_epoch", "value"]
     with pytest.raises(ValueError):
         gapfill.fill_window_stat(grid, 5, method="bogus").collect()
+
+
+def test_gapfill_window_stat_wide_gap_divergence(spark):
+    """fill_window_stat is a ONE-SHOT imputation: the window stat sees
+    only original values, so a gap WIDER than the window fills for the
+    first `window` grid points after the last observation and stays
+    NULL deeper in. The reference's sequential impute_missing
+    (kernels.preprocess) feeds fills back into later windows and closes
+    the whole gap. This pins the documented divergence (the operators
+    agree only for gaps narrower than the window)."""
+    from matrixprofile_spark.kernels.preprocess import impute_missing
+
+    vals = [10.0] * 10 + [None] * 8 + [20.0] * 7  # gap of 8 > window 5
+    grid = spark.createDataFrame(
+        [("c", "m", i, v) for i, v in enumerate(vals)],
+        "conv_id string, metric string, ts_epoch long, value double",
+    )
+    out = (
+        gapfill.fill_window_stat(grid, window=5, method="mean")
+        .orderBy("ts_epoch")
+        .toPandas()
+    )
+    # within `window` rows of the last observation: filled with its mean
+    assert (out.value[10:15] == 10.0).all()
+    # deeper than the window: the frame holds only NULLs -> stays NULL
+    assert out.value[15:18].isna().all()
+
+    # the sequential kernel closes the whole gap by progressive refill
+    seq = impute_missing(
+        np.array([np.nan if v is None else v for v in vals]), window=5,
+        method="mean", direction="forward",
+    )
+    assert np.isfinite(seq).all()
+    np.testing.assert_allclose(seq[10:18], np.full(8, 10.0))
+
+    # agreement region: an isolated gap narrower than the window fills
+    # identically in both
+    vals2 = [10.0] * 10 + [None] + [10.0] * 10
+    grid2 = spark.createDataFrame(
+        [("c", "m", i, v) for i, v in enumerate(vals2)],
+        "conv_id string, metric string, ts_epoch long, value double",
+    )
+    one_shot = (
+        gapfill.fill_window_stat(grid2, window=5, method="mean")
+        .orderBy("ts_epoch").toPandas().value.to_numpy()
+    )
+    seq2 = impute_missing(
+        np.array([np.nan if v is None else v for v in vals2]), window=5,
+        method="mean", direction="forward",
+    )
+    np.testing.assert_allclose(one_shot, seq2)
