@@ -528,6 +528,13 @@ def hierarchical_assignments(
     for r in rows:
         i, j = sorted((pos[r["conv_id_a"]], pos[r["conv_id_b"]]))
         y[m * i + j - ((i + 2) * (i + 1)) // 2] = r["mpdist"]
+    # row count alone can't catch a duplicate (a,b) pair masking a
+    # missing one — an inf slot would silently corrupt the linkage
+    if np.isinf(y).any():
+        raise ValueError(
+            "pairwise_mpdist output does not cover every (a, b) pair "
+            "exactly once — condensed matrix has unfilled slots"
+        )
     Z = linkage(y, method=method)
     assign = fcluster(Z, t, criterion=criterion)
     return spark.createDataFrame(
