@@ -996,23 +996,38 @@ def _w_stats_sql(w: int, name: str, src: str = "r") -> str:
 
 
 def _mpx_block_sql(w: int, st: str, tag: str) -> str:
-    """dots→corr→per-position max blocks for one window width."""
+    """dots→corr→per-position max blocks for one window width.
+
+    Window dot products come from a per-diagonal sliding window sum over
+    element products — O(n²) rows total — instead of re-joining the w
+    elements under every subsequence pair (O(n²·w) joined rows, which
+    dominated the oracle wall at w=32). c{tag} carries both pair
+    directions so downstream per-position maxes see the full profile."""
     minlag = -(-w // 4)
-    return f"""d{tag} AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
-  FROM {st} a
-  JOIN {st} b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {minlag}
-  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {w}
-  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
-  GROUP BY 1, 2, 3
+    return f"""pr{tag} AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i - x.i > {minlag}
+),
+q{tag} AS (
+  SELECT conv_id, d, i, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM pr{tag}
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+  ) WHERE cnt = {w}
+),
+c0{tag} AS (
+  SELECT q.conv_id, q.i, q.i + q.d AS j,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (q.qt - {w} * sa.mu * sb.mu) / ({w} * sa.sig * sb.sig) END AS c
+  FROM q{tag} q
+  JOIN {st} sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN {st} sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
 ),
 c{tag} AS (
-  SELECT d.conv_id, d.i,
-    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
-         ELSE (d.qt - {w} * sa.mu * sb.mu) / ({w} * sa.sig * sb.sig) END AS c
-  FROM d{tag} d
-  JOIN {st} sa ON sa.conv_id = d.conv_id AND sa.i = d.i
-  JOIN {st} sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  SELECT conv_id, i, c FROM c0{tag}
+  UNION ALL
+  SELECT conv_id, j AS i, c FROM c0{tag}
 ),
 b{tag} AS (
   SELECT conv_id, CAST({w} AS INTEGER) AS w, i AS idx,
@@ -1984,19 +1999,39 @@ rrev AS (
 ),
 {_w_stats_sql(16, "s0", "r")},
 {_w_stats_sql(16, "s1", "rrev")},
+pr0 AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i - x.i > 8
+),
+dt00 AS (
+  SELECT conv_id, i, i + d AS j, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM pr0
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+  ) WHERE cnt = 16
+),
 dt0 AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
-  FROM s0 a JOIN s0 b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > 8
-  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + 16
-  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
-  GROUP BY 1, 2, 3
+  SELECT conv_id, i, j, qt FROM dt00
+  UNION ALL
+  SELECT conv_id, j AS i, i AS j, qt FROM dt00
+),
+pr1 AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM rrev x JOIN rrev y ON y.conv_id = x.conv_id AND y.i - x.i > 8
+),
+dt10 AS (
+  SELECT conv_id, i, i + d AS j, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM pr1
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING)
+  ) WHERE cnt = 16
 ),
 dt1 AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
-  FROM s1 a JOIN s1 b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > 8
-  JOIN rrev x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + 16
-  JOIN rrev y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
-  GROUP BY 1, 2, 3
+  SELECT conv_id, i, j, qt FROM dt10
+  UNION ALL
+  SELECT conv_id, j AS i, i AS j, qt FROM dt10
 ),
 dd0 AS (
   SELECT d.conv_id, d.i, d.j,
@@ -2016,7 +2051,7 @@ dd1 AS (
   JOIN s1 sb ON sb.conv_id = d.conv_id AND sb.i = d.j
   WHERE sa.sig > 0 AND sb.sig > 0
 ),
-dims2 AS (
+dims2 AS MATERIALIZED (
   SELECT a.conv_id, a.i, a.j, a.dist AS e0, b.dist AS e1
   FROM dd0 a JOIN dd1 b ON a.conv_id = b.conv_id AND a.i = b.i AND a.j = b.j
 ),
@@ -2095,14 +2130,21 @@ pr AS (
   SELECT a.conv_id AS ca, b.conv_id AS cb
   FROM chosen a JOIN chosen b ON a.conv_id < b.conv_id
 ),
-dots AS (
-  SELECT p.ca, p.cb, a.i AS ia, b.i AS jb, sum(x.value * y.value) AS qt
+dots0 AS (
+  -- AB-join window dots via per-diagonal (d = jb - ia) sliding sums
+  -- over the cross-series element products: O(na·nb) rows, not O(na·nb·w)
+  SELECT p.ca, p.cb, y.i - x.i AS d, x.i AS ia, x.value * y.value AS pv
   FROM pr p
-  JOIN st8 a ON a.conv_id = p.ca
-  JOIN st8 b ON b.conv_id = p.cb
-  JOIN r x ON x.conv_id = p.ca AND x.i >= a.i AND x.i < a.i + 8
-  JOIN r y ON y.conv_id = p.cb AND y.i = b.i + (x.i - a.i)
-  GROUP BY 1, 2, 3, 4
+  JOIN r x ON x.conv_id = p.ca
+  JOIN r y ON y.conv_id = p.cb
+),
+dots AS (
+  SELECT ca, cb, ia, ia + d AS jb, qt FROM (
+    SELECT ca, cb, d, ia, sum(pv) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM dots0
+    WINDOW wnd AS (PARTITION BY ca, cb, d ORDER BY ia
+                   ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+  ) WHERE cnt = 8
 ),
 corr AS (
   SELECT d.ca, d.cb, d.ia, d.jb,
@@ -2140,7 +2182,7 @@ WHERE rk.rn - 1 = least(rk.cnt - 1,
         "discords_top3": f"""
 WITH {_CHOSEN_CTE},
 {_mpx_block_sql(16, "sub", "d")},
-mp AS (
+mp AS MATERIALIZED (
   SELECT conv_id, i AS idx, sqrt(2 * 16 * (1 - least(max(c), 1.0))) AS dist
   FROM cd GROUP BY 1, 2
 ),
@@ -2178,26 +2220,36 @@ SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
 """.strip(),
         "regimes": f"""
 WITH {_CHOSEN_CTE},
-drg AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
-  FROM sub a
-  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
-  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
-  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
-  GROUP BY 1, 2, 3
+prrg AS (
+  SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
+  FROM r x JOIN r y
+    ON y.conv_id = x.conv_id AND y.i - x.i > {_MPX_MINLAG}
+),
+qrg AS (
+  SELECT conv_id, d, i, qt FROM (
+    SELECT conv_id, d, i, sum(p) OVER wnd AS qt, count(*) OVER wnd AS cnt
+    FROM prrg
+    WINDOW wnd AS (PARTITION BY conv_id, d ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {_MPX_W - 1} FOLLOWING)
+  ) WHERE cnt = {_MPX_W}
+),
+c0rg AS (
+  SELECT q.conv_id, q.i, q.i + q.d AS j,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (q.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM qrg q
+  JOIN sub sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN sub sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
 ),
 crg AS (
-  SELECT d.conv_id, d.i, d.j,
-    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
-         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
-              / ({_MPX_W} * sa.sig * sb.sig) END AS c
-  FROM drg d
-  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
-  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+  SELECT conv_id, i, j, c FROM c0rg
+  UNION ALL
+  SELECT conv_id, j AS i, i AS j, c FROM c0rg
 ),
 -- profile index with the kernel's tie order: higher corr first, then the
 -- smaller diagonal, then the earlier (left) neighbor (mpx scan order)
-pi0 AS (
+pi0 AS MATERIALIZED (
   SELECT conv_id, i, j FROM (
     SELECT conv_id, i, j, row_number() OVER
       (PARTITION BY conv_id, i ORDER BY c DESC, abs(i - j) ASC, j ASC) AS rn
@@ -2278,7 +2330,7 @@ SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank,
         "global_discords_top10": f"""
 WITH {_CHOSEN_CTE},
 {_mpx_block_sql(_MPX_W, "sub", "g")},
-mp AS (
+mp AS MATERIALIZED (
   SELECT conv_id, i AS idx, sqrt(2 * {_MPX_W} * (1 - least(max(c), 1.0))) AS dist
   FROM cg GROUP BY 1, 2
 ),
