@@ -102,30 +102,60 @@ def _dir_size(path: str) -> int:
     return total
 
 
-def _commit_day(
-    spark: SparkSession, df_day: DataFrame, workdir: str, stage: str, day: int
-) -> dict:
-    """Write one day-partition via staging + atomic rename, then commit
-    the manifest row. Returns the manifest entry."""
+def _commit_days(
+    spark: SparkSession, out: DataFrame, workdir: str, stage: str,
+    todo: list[int],
+) -> list[dict]:
+    """Write ALL of a stage's uncommitted days in one partitioned job,
+    then promote each day dir with an atomic rename + manifest append.
+
+    One Spark job per stage instead of one per day (the per-day loop
+    paid job-scheduling and a source re-scan per commit). Commit
+    granularity is unchanged: a crash mid-promotion leaves later days
+    as staging orphans only — they are recomputed on resume, while every
+    day whose manifest row landed is never reread. Row counts come from
+    the staged parquet footers (metadata-only), not a second execution
+    of the rollup lineage."""
     table = _table_path(workdir, stage)
     os.makedirs(table, exist_ok=True)
-    staging = os.path.join(workdir, f"_staging_{stage}_{day}")
-    final = os.path.join(table, f"day={day}")
-    rows = df_day.count()
-    df_day.coalesce(1).write.mode("overwrite").parquet(staging)
-    if os.path.exists(final):
-        shutil.rmtree(final)  # orphan from a crashed run → recompute wins
-    os.replace(staging, final)
-    entry = {
-        "stage": stage,
-        "partition_key": str(day),
-        "watermark_epoch": (day + 1) * DAY_S,
-        "rows": rows,
-        "bytes": _dir_size(final),
-        "snapshot_id": f"{stage}-{day}-{rows}",
+    staging = os.path.join(workdir, f"_staging_{stage}")
+    (
+        out.withColumn(
+            "day", F.floor(F.col("bucket_epoch") / DAY_S).cast("long")
+        )
+        .repartition(max(len(todo), 1), "day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(staging)
+    )
+    counts = {
+        int(r["day"]): int(r["cnt"])
+        for r in spark.read.parquet(staging)
+        .groupBy("day").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    _append_manifest(workdir, entry)
-    return entry
+    entries = []
+    for day in todo:
+        src_dir = os.path.join(staging, f"day={day}")
+        final = os.path.join(table, f"day={day}")
+        if os.path.exists(final):
+            shutil.rmtree(final)  # orphan from a crashed run → recompute wins
+        if os.path.isdir(src_dir):
+            os.replace(src_dir, final)
+        else:  # a day whose rows were all NULL-valued: empty partition
+            os.makedirs(final, exist_ok=True)
+        rows = counts.get(day, 0)
+        entry = {
+            "stage": stage,
+            "partition_key": str(day),
+            "watermark_epoch": (day + 1) * DAY_S,
+            "rows": rows,
+            "bytes": _dir_size(final),
+            "snapshot_id": f"{stage}-{day}-{rows}",
+        }
+        _append_manifest(workdir, entry)
+        entries.append(entry)
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
 
 
 def _read_stage_input(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
@@ -133,6 +163,23 @@ def _read_stage_input(spark: SparkSession, workdir: str, stage: str) -> DataFram
     if src == "raw":
         return spark.read.parquet(os.path.join(workdir, "raw"))
     return spark.read.parquet(_table_path(workdir, src))
+
+
+def _list_days(workdir: str, stage: str) -> list[int]:
+    """Day partitions of a stage's INPUT table, from the partition
+    directory names — the same listing an Iceberg manifest would serve,
+    with no Spark job (the old distinct().collect() ran one full scan
+    per stage per run)."""
+    src, _ = STAGES[stage]
+    path = (os.path.join(workdir, "raw") if src == "raw"
+            else _table_path(workdir, src))
+    if not os.path.isdir(path):
+        return []
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(path)
+        if name.startswith("day=")
+    )
 
 
 def run_incremental_rollup(
@@ -149,20 +196,18 @@ def run_incremental_rollup(
         src_name, tier_s = STAGES[stage]
         inp = _read_stage_input(spark, workdir, stage)
         have = committed_days(workdir, stage)
-        days = sorted(
-            r["day"] for r in inp.select("day").distinct().collect()
-        )
+        days = _list_days(workdir, stage)
         todo = [d for d in days if d not in have]
         if max_days_per_stage is not None:
             todo = todo[:max_days_per_stage]
         processed[stage] = todo
-        for day in todo:
-            part = inp.where(F.col("day") == day)
+        if todo:
+            part = inp.where(F.col("day").isin(todo))  # partition-pruned
             if src_name == "raw":
                 out = R.rollup_from_raw(part.drop("day"), tier_s)
             else:
                 out = R.rollup_cascade(part.drop("day"), tier_s)
-            _commit_day(spark, out, workdir, stage, day)
+            _commit_days(spark, out, workdir, stage, todo)
     return processed
 
 
