@@ -61,10 +61,23 @@ def brute_force_topk(
 
 
 def cell_centroids(
-    embeddings: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+    embeddings: DataFrame, cell_col: str = "label", vec_col: str = "embedding",
+    sample_mille: int = 1000, id_col: str = "vec_id",
 ) -> DataFrame:
-    """Per-cell per-dimension mean → centroid arrays (IVF codebook)."""
-    exploded = embeddings.select(
+    """Per-cell per-dimension mean → centroid arrays (IVF codebook).
+
+    ``sample_mille`` (‰ of rows kept, deterministic via hash(id) — no
+    RNG, stable under repartitioning) bounds the codebook build's
+    corpus×dims explode at scale: centroids are statistical summaries,
+    so a 1-5% sample of a 100 TB corpus gives the same routing quality
+    while the build reads 20-100× less. Default 1000 (=all rows) keeps
+    the small-scale oracle exact."""
+    src = embeddings
+    if sample_mille < 1000:
+        src = src.where(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < sample_mille
+        )
+    exploded = src.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v")
     )
     means = exploded.groupBy("cell", "pos").agg(
@@ -79,10 +92,12 @@ def cell_centroids(
 def ivf_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label",
+    codebook_sample_mille: int = 1000,
 ) -> DataFrame:
     """Route each query to its nprobe nearest cell centroids, then exact
     cosine inside those cells only."""
-    cents = cell_centroids(embeddings, cell_col, vec_col)
+    cents = cell_centroids(embeddings, cell_col, vec_col,
+                           sample_mille=codebook_sample_mille, id_col=id_col)
     routed = queries.join(F.broadcast(cents)).select(
         "query_id", "qvec", "cell", _cos(F.col("qvec"), F.col("centroid")).alias("ccos")
     )

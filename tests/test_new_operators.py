@@ -186,3 +186,49 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     sigs2 = minhash_signatures(shingles(docs2))
     pairs2 = lsh_candidate_pairs(sigs2, bands=4, max_bucket=10).toPandas()
     assert set(map(tuple, pairs2[["id_a", "id_b"]].values)) == {(1000, 1001)}
+
+
+def test_ivf_codebook_sampling_routes_like_full(spark):
+    """A hash-sampled codebook (deterministic, no RNG) must route
+    queries to the same nearest cell as the full-corpus codebook when
+    cells are well separated — the 100 TB build path reads a fraction
+    of the corpus without changing routing."""
+    from matrixprofile_spark.operators.similarity import cell_centroids
+
+    rng = np.random.default_rng(7)
+    rows = []
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    for cell, c in centers.items():
+        for i in range(80):
+            v = (np.array(c) + rng.normal(0, 0.5, 3)).tolist()
+            rows.append((cell * 1000 + i, cell, [float(x) for x in v]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+    full = {
+        r["cell"]: np.array(r["centroid"])
+        for r in cell_centroids(emb, cell_col="label").collect()
+    }
+    sampled = {
+        r["cell"]: np.array(r["centroid"])
+        for r in cell_centroids(
+            emb, cell_col="label", sample_mille=400
+        ).collect()
+    }
+    again = {
+        r["cell"]: np.array(r["centroid"])
+        for r in cell_centroids(
+            emb, cell_col="label", sample_mille=400
+        ).collect()
+    }
+    assert set(sampled) == {0, 1, 2}
+    for cell in full:
+        # deterministic under re-execution
+        np.testing.assert_array_equal(sampled[cell], again[cell])
+        # sampled centroid stays near the full one (cells are tight)
+        assert np.linalg.norm(sampled[cell] - full[cell]) < 1.0
+        # nearest-center routing unchanged
+        d = {k: float(np.linalg.norm(sampled[cell] - np.array(c)))
+             for k, c in {0: [10, 0, 0], 1: [0, 10, 0], 2: [0, 0, 10]}.items()}
+        assert min(d, key=d.get) == cell
