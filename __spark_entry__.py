@@ -729,6 +729,33 @@ def _q_fingerprints(spark, sf_dir):
     return TS.fingerprints(_docs(spark, sf_dir))
 
 
+def _q_media_features(spark, sf_dir):
+    """Binary media columns: synthesize payload+typed-metadata from
+    documents (payload == utf8(text), deterministic), decode via the
+    Arrow-batched fake decoder, extract byte-level features. The SQL
+    twin recomputes them character-wise (the corpus is ASCII, so code
+    points == payload bytes) — proving the binary plumbing end-to-end."""
+    from matrixprofile_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_docs(spark, sf_dir))
+    return MM.media_features(media).select(
+        "doc_id", "kind", "width", "height", "n_bytes",
+        F.round("mean_byte", 4).alias("mean_byte_r4"), "max_byte",
+    )
+
+
+def _q_media_frame_sample(spark, sf_dir):
+    """Every-2nd fixed-stride frame slice of each fake-video payload;
+    the oracle slices the same frames with substr over the source text,
+    hash-comparing the exact frame bytes."""
+    from matrixprofile_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_docs(spark, sf_dir))
+    return MM.frame_sample(media, every_k=2).select(
+        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text"),
+    )
+
+
 def _query_vecs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.where(F.col("vec_id") < 10).select(
@@ -842,6 +869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_stats_w8": _q_moving_stats,
         "statistics_global": _q_statistics_global,
         "retention_view": _q_retention_view,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1483,6 +1512,32 @@ SELECT id, md5(txt) AS content_md5,
   list_aggregate(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
                  i -> md5(array_to_string(toks[i:i+4], ' '))), 'min') AS winnow_fp
 FROM t
+""".strip(),
+        "media_features": """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+agg AS (
+  SELECT doc_id, count(*) AS n, avg(unicode(c)) AS meanb,
+         max(unicode(c)) AS maxb
+  FROM chars GROUP BY 1
+)
+SELECT d.doc_id,
+       list_extract(['image', 'audio', 'video'],
+                    CAST(d.doc_id % 3 AS INTEGER) + 1) AS kind,
+       16 AS width,
+       CAST(ceil(length(d.text) / 16.0) AS INTEGER) AS height,
+       CAST(length(d.text) AS INTEGER) AS n_bytes,
+       round(a.meanb, 4) AS mean_byte_r4,
+       a.maxb AS max_byte
+FROM documents d JOIN agg a USING (doc_id)
+""".strip(),
+        "media_frame_sample": """
+SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+       substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS frame_text
+FROM documents,
+     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS t(fi)
+WHERE doc_id % 3 = 2
 """.strip(),
         "ann_brute_topk": f"""
 WITH q AS (

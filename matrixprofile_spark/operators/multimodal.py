@@ -1,0 +1,145 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The engine treats media exactly like its compressed series segments
+(operators/segments.py): an opaque ``payload binary`` column plus typed
+metadata columns the optimizer can prune/filter on WITHOUT touching the
+bytes. Decode / feature-extract / frame-sample run as Arrow-batched
+``mapInPandas`` stages — the pattern a 100 TB training-data pipeline
+needs: metadata predicates push down to the parquet scan, payload bytes
+only cross into Python for rows that survive them.
+
+The actual codecs (PIL/libav/soundfile) are NOT in this container, so
+``decode_payload`` is a deterministic fake (the payload bytes ARE the
+sample/pixel stream) and ``decode_with_real_codecs`` is the clearly
+marked real-codec seam. Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shapes, the frame byte-layout — is real and
+oracle-tested: media synthesized from the ``documents`` table has
+payload == utf8(text), so DuckDB can recompute features and frame
+slices character-wise and the driver hash-compares them bit-exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id bigint, kind string, width int, height int, n_frames int, "
+    "sample_rate int, n_bytes int, payload binary"
+)
+
+FRAME_BYTES = 64  # fake-video frame stride (bytes per frame)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from ``documents`` — the
+    sandbox stand-in for an ingested media lake. Pure Catalyst (zero
+    Python): payload = utf8(text); kind cycles image/audio/video by
+    doc_id; metadata is derived from the byte length the way a real
+    ingest would persist decoder headers."""
+    n = F.octet_length("text")
+    return documents.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.lit(16).alias("width"),
+        F.ceil(n / 16).cast("int").alias("height"),
+        F.ceil(n / FRAME_BYTES).cast("int").alias("n_frames"),
+        F.lit(8000).alias("sample_rate"),
+        n.cast("int").alias("n_bytes"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def decode_payload(kind: str, payload: bytes) -> np.ndarray:
+    """Deterministic fake decode: payload bytes AS the uint8
+    sample/pixel stream. The Spark plumbing around this call (batching,
+    schema, partitioning) is exactly what a real decoder plugs into."""
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def decode_with_real_codecs(kind: str, payload: bytes) -> np.ndarray:
+    """Real-codec seam. Swap-in point for PIL / libav / soundfile —
+    none of which exist in this container."""
+    try:
+        if kind == "image":
+            import PIL.Image  # noqa: F401
+        elif kind == "audio":
+            import soundfile  # noqa: F401
+        else:
+            import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real media codecs are not installed in this environment; "
+            "use decode_payload (deterministic fake) or install "
+            "PIL/soundfile/av and implement this seam"
+        ) from e
+    raise NotImplementedError("real-codec decode not implemented")
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Per-media byte-level features via Arrow-batched mapInPandas.
+
+    Metadata columns pass through untouched (no decode needed for
+    them); only ``payload`` is decoded. Output is one row per input
+    row, so the stage is a narrow map — no shuffle, safe to chain
+    after a metadata filter that pruned the scan."""
+    schema = (
+        "doc_id bigint, kind string, width int, height int, n_bytes int, "
+        "mean_byte double, max_byte int"
+    )
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            streams = [
+                decode_payload(k, bytes(p))
+                for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "kind": pdf["kind"].to_numpy(),
+                "width": pdf["width"].to_numpy(),
+                "height": pdf["height"].to_numpy(),
+                "n_bytes": pdf["n_bytes"].to_numpy(),
+                "mean_byte": [float(s.mean()) if len(s) else float("nan")
+                              for s in streams],
+                "max_byte": [int(s.max()) if len(s) else 0 for s in streams],
+            })
+
+    return media.mapInPandas(fn, schema)
+
+
+def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Every k-th fixed-stride frame of each video payload.
+
+    The mapInPandas stage fans one row out to ``ceil(n_frames/k)`` rows
+    carrying binary frame slices — the decode-side shape of a
+    frame-sampling training pipeline. The video filter is Catalyst-side
+    so non-video payload bytes never reach Python."""
+    schema = "doc_id bigint, frame_idx int, frame binary"
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = -(-len(raw) // FRAME_BYTES)
+                for fi in range(0, n_frames, every_k):
+                    ids.append(did)
+                    idxs.append(fi)
+                    frames.append(
+                        raw[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.where(F.col("kind") == "video").mapInPandas(fn, schema)

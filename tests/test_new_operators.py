@@ -232,3 +232,48 @@ def test_ivf_codebook_sampling_routes_like_full(spark):
         d = {k: float(np.linalg.norm(sampled[cell] - np.array(c)))
              for k, c in {0: [10, 0, 0], 1: [0, 10, 0], 2: [0, 0, 10]}.items()}
         assert min(d, key=d.get) == cell
+
+
+def test_multimodal_frame_sample_reassembles_payload(spark):
+    """every_k=1 frame slices concatenate back to the exact payload —
+    the byte-layout contract a real frame-sampling pipeline relies on."""
+    from matrixprofile_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(2, "x" * 100), (5, "abcdefgh" * 20), (8, "short")],
+        "doc_id long, text string",
+    )  # doc_id % 3 == 2 -> video
+    media = MM.synthesize_media(docs)
+    frames = MM.frame_sample(media, every_k=1).toPandas()
+    by_doc = frames.sort_values(["doc_id", "frame_idx"]).groupby("doc_id")
+    for did, g in by_doc:
+        joined = b"".join(bytes(b) for b in g["frame"])
+        src = next(t for d, t in [(2, "x" * 100), (5, "abcdefgh" * 20),
+                                  (8, "short")] if d == did)
+        assert joined == src.encode()
+
+
+def test_multimodal_features_match_numpy(spark):
+    from matrixprofile_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "AAAA"), (2, "zzz!")],
+        "doc_id long, text string",
+    )
+    feats = (
+        MM.media_features(MM.synthesize_media(docs))
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for did, text in [(0, "hello world"), (1, "AAAA"), (2, "zzz!")]:
+        b = np.frombuffer(text.encode(), dtype=np.uint8)
+        assert feats.loc[did, "n_bytes"] == len(b)
+        assert feats.loc[did, "max_byte"] == int(b.max())
+        assert abs(feats.loc[did, "mean_byte"] - float(b.mean())) < 1e-12
+    assert list(feats["kind"]) == ["image", "audio", "video"]
+
+
+def test_multimodal_real_codec_seam_is_stubbed():
+    from matrixprofile_spark.operators import multimodal as MM
+
+    with pytest.raises(NotImplementedError):
+        MM.decode_with_real_codecs("video", b"\x00\x01")
