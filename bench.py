@@ -89,10 +89,12 @@ def make_spark(cores: int, app: str):
         # aggregation shuffles self-size via AQE; grouped-kernel stages
         # use explicit repartition-by-num (AQE leaves those alone)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # min_by/max_by sketches aggregate millions of groups; the
-        # default 128-key fallback degrades to sort-based aggregation
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                "10000000")
+        # sort-based aggregation beats ObjectHashAggregate for both the
+        # min_by/max_by sketch and collect_list packing — measured 0.93
+        # vs 0.74 4→16-core efficiency and 3.7× at 16 cores (see
+        # session.py for the numbers); clustered (conv, ts) input makes
+        # the partial sort nearly free
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         # committer v2: task-side renames, no sequential driver-side
         # file-by-file commit (the commit was the only non-scaling part
         # of tier materialization — measured ~0.7 s flat at 16 cores)

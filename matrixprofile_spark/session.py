@@ -47,11 +47,17 @@ def get_spark(
         # (operators/profile.py), which AQE leaves alone.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # sketch rollups aggregate millions of (conv,metric,bucket) groups
-        # with min_by/max_by (ObjectHashAggregate); the default 128-key
-        # in-memory cap silently degrades to sort-based aggregation
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-                "10000000")
+        # measured, not assumed: the engine's two TypedImperativeAggregate
+        # users both run FASTER and SCALE BETTER sort-based than through
+        # ObjectHashAggregate's per-group object hash map (GC churn grows
+        # with core count). 1m sketch agg (min_by/max_by), 268M rows:
+        # 4→16-core efficiency 0.93 sort vs 0.74 obj at equal 4-core
+        # cost; pack_series (collect_list), 16.7M rows: 1.8s sort vs
+        # 6.8s obj at 16 cores (obj is slower at 16 cores than at 4 —
+        # hash-map + GC anti-scaling). Input clustering by (conv, ts)
+        # makes the partial sort nearly free, and that clustering is the
+        # table's native layout at 100 TB too.
+        .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # grouped-map Arrow batches: large enough to amortize IPC, small
