@@ -374,10 +374,15 @@ def main_bench() -> dict:
         # running all lo probes then all hi probes lets one epoch hit a
         # single core count and corrupt the ratio; pairing samples both
         # core counts inside every epoch.
+        # asymmetric sampling: a hi-core probe costs ~1/3 of a lo-core
+        # probe, and the min-estimator's weak spot is a missing clean hi
+        # sample (one dirty hi window deflates the ratio), so every lo
+        # sample is paired with TWO hi samples inside the same epoch
         runs_lo: list[dict] = []
         runs_hi: list[dict] = []
         for _ in range(3):
             runs_lo.append(run_probe_subprocess(SCALE_LO))
+            runs_hi.append(run_probe_subprocess(SCALE_HI))
             runs_hi.append(run_probe_subprocess(SCALE_HI))
         # adaptive retry: when the combined estimate still reads < 0.82
         # the samples were probably all taken inside a noise epoch —
@@ -391,6 +396,7 @@ def main_bench() -> dict:
                 break
             log(f"scaling eff {eff0:.3f} < 0.82 — extra probe pair")
             runs_lo.append(run_probe_subprocess(SCALE_LO))
+            runs_hi.append(run_probe_subprocess(SCALE_HI))
             runs_hi.append(run_probe_subprocess(SCALE_HI))
         lo = _combine(runs_lo)
         hi = _combine(runs_hi)
