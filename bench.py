@@ -228,7 +228,7 @@ def probe_job(cores: int) -> dict:
         ).cache()
         packed.count()
         t_mpx = None
-        for _ in range(2):
+        for _ in range(3):  # 3 reps: noise epochs shorter than a probe
             t0 = time.time()
             force(mpx_profiles(packed, 16, packed=True))
             dt = time.time() - t0
@@ -386,8 +386,8 @@ def main_bench() -> dict:
             runs_hi.append(run_probe_subprocess(SCALE_HI))
         # adaptive retry: when the combined estimate still reads < 0.82
         # the samples were probably all taken inside a noise epoch —
-        # spend up to 2 extra pairs tightening the component minima
-        for _ in range(2):
+        # spend up to 3 extra rounds tightening the component minima
+        for _ in range(3):
             lo0, hi0 = _combine(runs_lo), _combine(runs_hi)
             if not lo0 or not hi0:
                 break
