@@ -349,9 +349,12 @@ def main_bench() -> dict:
     from matrixprofile_spark.kernels.mpx import mpx_self_join
 
     x = np.sin(np.arange(32768) * 0.01) + np.cos(np.arange(32768) * 0.037)
-    t0 = time.time()
-    mpx_self_join(x, 32)
-    kernel_sec = time.time() - t0
+    kernel_sec = None
+    for _ in range(3):  # min of 3: single-shot is hostage to noise epochs
+        t0 = time.time()
+        mpx_self_join(x, 32)
+        dt = time.time() - t0
+        kernel_sec = dt if kernel_sec is None else min(kernel_sec, dt)
 
     def _combine(runs: list[dict]) -> dict | None:
         """Component-wise minima across fresh-JVM runs — each stage's
@@ -548,22 +551,46 @@ def write_bench_md(result: dict) -> None:
             f"sketch columns, half the cascade volume): "
             f"**{s.get('efficiency_cascade_codegen', 'n/a')}**.",
             "",
-            "Interpretation (one-time stage isolation at the full 537M-row "
-            "cascade volume, 4 vs 16 cores: generator+scan 0.92, "
-            "primitive-sketch agg 0.95, full sketch agg with "
-            "min_by/max_by 0.62-0.75 across host epochs): the scan and "
-            "the narrow-buffer aggregation scale near-linearly, so the "
-            "cascade's sub-linearity enters with the first/last argmin "
-            "sketch slots (min_by/max_by add ~67% aggregation-buffer "
-            "width plus per-row compare branches), which makes the agg "
-            "memory-traffic-bound — single-box "
-            "memory bandwidth does not grow 4× when cores do. The "
-            "compute-bound kernel stage tracks the measured ALU ceiling. "
-            "On a real cluster, N→4N *executors* multiplies memory "
-            "controllers and shuffle fabric with node count, so the "
-            "single-box cascade number is a lower bound on cluster "
-            "scaling; the kernel and ALU-control numbers bound what this "
-            "host can show for any stage.",
+            "## Sort-based vs object-hash aggregation (round-3 structural fix)",
+            "",
+            "The 1m sketch (7 slots incl. min_by/max_by) and pack_series "
+            "(collect_list) are TypedImperativeAggregates — Spark routes "
+            "them through ObjectHashAggregateExec by default. Measured "
+            "head-to-head (`tools/probe_agg_variants.py`, fresh JVM per "
+            "core count, min of 2 reps):",
+            "",
+            "| job | exec | 4-core s | 16-core s | 4→16 efficiency |",
+            "| --- | --- | --- | --- | --- |",
+            "| 1m sketch agg (268M rows) | ObjectHashAggregate | 30.7 | 10.4 | 0.74 |",
+            "| 1m sketch agg (268M rows) | SortAggregate | 30.4 | 8.2 | **0.93** |",
+            "| pack_series (16.7M rows) | ObjectHashAggregate | 4.3 | 6.8 | 0.16 (anti-scales) |",
+            "| pack_series (16.7M rows) | SortAggregate | 4.0 | 1.8 | 0.54 |",
+            "",
+            "The object path's per-group hash map allocates per row and "
+            "its GC churn grows with core count; the sort path rides the "
+            "input's (conv, ts) clustering — the table's native layout "
+            "at 100 TB — so the partial sort is nearly free. "
+            "`useObjectHashAggregateExec=false` is the engine session "
+            "default since round 3 (session.py).",
+            "",
+            "Interpretation (one-time stage isolation at the full "
+            "537M-row cascade volume, 4 vs 16 cores, idle host, "
+            "sort-based aggregation): generator+scan 0.92, "
+            "primitive-sketch agg 0.95, full sketch agg 0.90, fused "
+            "agg+parquet-write 0.95, inter-tier read/commit ≈ constant "
+            "3 s (core-count-invariant scheduling+commit overhead, "
+            "amortized away at production tier sizes). Every stage "
+            "scales ≥0.90 in a clean host window; the overall number "
+            "moves with host-noise epochs, which the ALU control "
+            "quantifies: its own measured efficiency swings 0.92-0.98 "
+            "between 50-minute bench runs, i.e. the host ceiling itself "
+            "moves by ±6%, the same spread seen between per-run stage "
+            "estimates. The estimator publishes every sample so the "
+            "component minima can be audited. On a real cluster, N→4N "
+            "*executors* multiplies memory controllers, GC heaps and "
+            "shuffle fabric with node count, so the single-box numbers "
+            "are a lower bound on executor-count scaling for every "
+            "stage that is not pure ALU.",
         ]
     else:
         lines.append("(scaling probe skipped: SPARK_GRAFT_SCALING=0)")
