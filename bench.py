@@ -89,11 +89,10 @@ def make_spark(cores: int, app: str):
         # aggregation shuffles self-size via AQE; grouped-kernel stages
         # use explicit repartition-by-num (AQE leaves those alone)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # sort-based aggregation beats ObjectHashAggregate for both the
-        # min_by/max_by sketch and collect_list packing — measured 0.93
-        # vs 0.74 4→16-core efficiency and 3.7× at 16 cores (see
-        # session.py for the numbers); clustered (conv, ts) input makes
-        # the partial sort nearly free
+        # sort-based beats ObjectHashAggregate for the collect_list
+        # packing paths (3.7× at 16 cores, anti-scales object-hash);
+        # min_by/max_by are declarative HashAggregate either way in
+        # Spark 4 — see session.py for the measured numbers
         .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         # committer v2: task-side renames, no sequential driver-side
         # file-by-file commit (the commit was the only non-scaling part
@@ -553,30 +552,30 @@ def write_bench_md(result: dict) -> None:
             "",
             "## Sort-based vs object-hash aggregation (round-3 structural fix)",
             "",
-            "The 1m sketch (7 slots incl. min_by/max_by) and pack_series "
-            "(collect_list) are TypedImperativeAggregates — Spark routes "
-            "them through ObjectHashAggregateExec by default. Measured "
-            "head-to-head (`tools/probe_agg_variants.py`, fresh JVM per "
-            "core count, min of 2 reps):",
-            "",
-            "| job | exec | 4-core s | 16-core s | 4→16 efficiency |",
-            "| --- | --- | --- | --- | --- |",
-            "| 1m sketch agg (268M rows) | ObjectHashAggregate | 30.7 | 10.4 | 0.74 |",
-            "| 1m sketch agg (268M rows) | SortAggregate | 30.4 | 8.2 | **0.93** |",
-            "| pack_series (16.7M rows) | ObjectHashAggregate | 4.3 | 6.8 | 0.16 (anti-scales) |",
-            "| pack_series (16.7M rows) | SortAggregate | 4.0 | 1.8 | 0.54 |",
-            "",
-            "The object path's per-group hash map allocates per row and "
-            "its GC churn grows with core count; the sort path rides the "
-            "input's (conv, ts) clustering — the table's native layout "
-            "at 100 TB — so the partial sort is nearly free. "
             "`useObjectHashAggregateExec=false` is the engine session "
-            "default since round 3 (session.py).",
+            "default since round 3 (session.py). The flag governs "
+            "TypedImperativeAggregates, which in this engine means the "
+            "collect_list packing paths (pack_series, segment encode); "
+            "min_by/max_by compile to declarative HashAggregate in "
+            "Spark 4 either way (plan-verified). Measured head-to-head "
+            "(`tools/probe_agg_variants.py` harness, fresh JVM per core "
+            "count, min of 2 reps):",
+            "",
+            "| job | exec | 4-core s | 16-core s |",
+            "| --- | --- | --- | --- |",
+            "| pack_series (16.7M rows) | ObjectHashAggregate | 4.3 | 6.8 (anti-scales) |",
+            "| pack_series (16.7M rows) | SortAggregate | 4.0 | **1.8** |",
+            "",
+            "The object path builds per-group array buffers inside a "
+            "hash map — allocation per row, GC churn growing with core "
+            "count, slower at 16 cores than at 4; the sort path rides "
+            "the input's (conv, ts) clustering — the table's native "
+            "layout at 100 TB — so the partial sort is nearly free.",
             "",
             "Interpretation (one-time stage isolation at the full "
-            "537M-row cascade volume, 4 vs 16 cores, idle host, "
-            "sort-based aggregation): generator+scan 0.92, "
-            "primitive-sketch agg 0.95, full sketch agg 0.90, fused "
+            "537M-row cascade volume, 4 vs 16 cores, idle host): "
+            "generator+scan 0.92, primitive-sketch agg (5 codegen "
+            "slots) 0.95, full 7-slot sketch agg 0.90, fused "
             "agg+parquet-write 0.95, inter-tier read/commit ≈ constant "
             "3 s (core-count-invariant scheduling+commit overhead, "
             "amortized away at production tier sizes). Every stage "

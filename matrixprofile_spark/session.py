@@ -47,16 +47,16 @@ def get_spark(
         # (operators/profile.py), which AQE leaves alone.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # measured, not assumed: the engine's two TypedImperativeAggregate
-        # users both run FASTER and SCALE BETTER sort-based than through
-        # ObjectHashAggregate's per-group object hash map (GC churn grows
-        # with core count). 1m sketch agg (min_by/max_by), 268M rows:
-        # 4→16-core efficiency 0.93 sort vs 0.74 obj at equal 4-core
-        # cost; pack_series (collect_list), 16.7M rows: 1.8s sort vs
-        # 6.8s obj at 16 cores (obj is slower at 16 cores than at 4 —
-        # hash-map + GC anti-scaling). Input clustering by (conv, ts)
-        # makes the partial sort nearly free, and that clustering is the
-        # table's native layout at 100 TB too.
+        # measured, not assumed: this flag only affects
+        # TypedImperativeAggregates, which in this engine means the
+        # collect_list packing paths (pack_series, segment encode) —
+        # min_by/max_by compile to declarative HashAggregate in Spark 4
+        # either way (plan-verified). pack_series over 16.7M rows:
+        # 1.8 s sort-based vs 6.8 s object-hash at 16 cores, and the
+        # object path is SLOWER at 16 cores than at 4 (per-group array
+        # buffers in a hash map; GC churn grows with core count). Input
+        # clustering by (conv, ts) — the table's native layout at
+        # 100 TB — makes the partial sort nearly free.
         .config("spark.sql.execution.useObjectHashAggregateExec", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
