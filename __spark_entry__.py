@@ -887,10 +887,52 @@ def _q_incremental_manifest(spark, sf_dir):
     )
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Per-query round of the newest driver correctness row, read from the
+    CORRECTNESS_r*.json artifacts next to this file.
+
+    The driver's correctness window is time/count-budgeted (it covered the
+    first 50 registry entries in rounds 2 and 3), so `queries()` orders the
+    registry least-recently-verified-first. This makes rotation structural:
+    every round the driver emits a new artifact and the next round's
+    ordering follows from it — no query goes more than one round without a
+    fresh row, with no hand-maintained list to go stale.
+    """
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)\.json$", os.path.basename(path))
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        rnd = int(m.group(1))
+        for name in rows:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    seen = _last_verified_round()
+    order = list(base)
+    # never-verified queries first (round 0), then oldest evidence first;
+    # ties keep the base (cheap-to-expensive-ish) declaration order
+    order.sort(key=lambda name: (seen.get(name, 0), list(base).index(name)))
+    return {name: base[name] for name in order}
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Queries lacking a round-2 driver-oracle row come first so they are
-        # guaranteed to land inside the driver's correctness window.
         "gapfill_window_mean": _q_gapfill_window_mean,
         "gapfill_locf": _q_gapfill_locf,
         "rollup_1d": _q_rollup("1d"),
