@@ -810,6 +810,21 @@ def _q_ann_ivf(spark, sf_dir):
                       "neighbor_id", F.round("cos", 4).alias("cos_r4"))
 
 
+def _q_ann_ivf_learned(spark, sf_dir):
+    """IVF with a LEARNED codebook (no label column): deterministic
+    md5-ranked seeds + 2 Lloyd iterations, then the usual nprobe route +
+    exact in-cell cosine. The oracle unrolls the same two iterations in
+    SQL (seeds → assign → re-centroid ×2)."""
+    from matrixprofile_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = SIM.learn_codebook(emb, n_cells=8, iters=2)
+    out = SIM.ivf_topk(emb, _query_vecs(spark, sf_dir), k=5, nprobe=2,
+                       codebook=cb)
+    return out.select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                      "neighbor_id", F.round("cos", 4).alias("cos_r4"))
+
+
 def _q_lsh_buckets(spark, sf_dir):
     from matrixprofile_spark.operators import similarity as SIM
 
@@ -952,6 +967,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_learned": _q_ann_ivf_learned,
         "ann_lsh_buckets": _q_lsh_buckets,
         "dedup_embed_cosine": _q_dedup_embed_cosine,
         "segment_roundtrip": _q_segment_roundtrip,
@@ -1656,6 +1672,103 @@ scored AS (
          {_COS_FOLD.format(a='p.qvec', b='e.embedding')} AS cos
   FROM probes p JOIN embeddings e ON e.label = p.cell
   WHERE e.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos, 4) AS cos_r4
+FROM r WHERE rank <= 5
+""".strip(),
+        "ann_ivf_learned": f"""
+WITH emb AS (SELECT vec_id AS id, embedding FROM embeddings),
+ex AS MATERIALIZED (
+  SELECT id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM emb, range(1, 65) r(i)
+),
+seeds AS (
+  SELECT * FROM (
+    SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+           AS cell, id
+    FROM emb
+  ) WHERE cell < 8
+),
+cent0 AS (SELECT s.cell, e.pos, e.v AS m FROM seeds s JOIN ex e USING (id)),
+d1 AS (
+  SELECT e.id, c.cell, sum((e.v - c.m) * (e.v - c.m)) AS d
+  FROM ex e JOIN cent0 c ON c.pos = e.pos GROUP BY 1, 2
+),
+a1 AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a.cell, e.pos, avg(e.v) AS m
+  FROM a1 a JOIN ex e USING (id) GROUP BY 1, 2
+),
+cent1f AS (
+  SELECT c0.cell, c0.pos, coalesce(c1.m, c0.m) AS m
+  FROM cent0 c0 LEFT JOIN cent1 c1 ON c1.cell = c0.cell AND c1.pos = c0.pos
+),
+d2 AS (
+  SELECT e.id, c.cell, sum((e.v - c.m) * (e.v - c.m)) AS d
+  FROM ex e JOIN cent1f c ON c.pos = e.pos GROUP BY 1, 2
+),
+a2 AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+cent2 AS (
+  SELECT a.cell, e.pos, avg(e.v) AS m
+  FROM a2 a JOIN ex e USING (id) GROUP BY 1, 2
+),
+cent2f AS (
+  SELECT c1.cell, c1.pos, coalesce(c2.m, c1.m) AS m
+  FROM cent1f c1 LEFT JOIN cent2 c2 ON c2.cell = c1.cell AND c2.pos = c1.pos
+),
+centl AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cent2f GROUP BY 1),
+d3 AS (
+  SELECT e.id, c.cell, sum((e.v - c.m) * (e.v - c.m)) AS d
+  FROM ex e JOIN cent2f c ON c.pos = e.pos GROUP BY 1, 2
+),
+a3 AS MATERIALIZED (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+    FROM d3
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10
+),
+routed AS (
+  SELECT q.query_id, q.qvec, c.cell,
+         {_COS_FOLD.format(a='q.qvec', b='c.centroid')} AS ccos
+  FROM q, centl c
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY ccos DESC, cell) AS crank
+    FROM routed
+  ) WHERE crank <= 2
+),
+scored AS (
+  SELECT p.query_id, e.id AS neighbor_id,
+         {_COS_FOLD.format(a='p.qvec', b='e.embedding')} AS cos
+  FROM probes p
+  JOIN a3 ON a3.cell = p.cell
+  JOIN emb e ON e.id = a3.id
+  WHERE e.id <> p.query_id
 ),
 r AS (
   SELECT query_id, neighbor_id, cos,

@@ -77,6 +77,17 @@ def cell_centroids(
         src = src.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000)) < sample_mille
         )
+        # a small or skewed cell can lose ALL rows to sampling, which
+        # would silently make its vectors unreachable by ivf routing —
+        # rescue such cells with their unsampled rows (cells are few, so
+        # the distinct/anti-join sides are tiny and broadcastable)
+        missing = (
+            embeddings.select(cell_col).distinct()
+            .join(src.select(cell_col).distinct(), cell_col, "left_anti")
+        )
+        src = src.unionByName(
+            embeddings.join(F.broadcast(missing), cell_col, "left_semi")
+        )
     exploded = src.select(
         F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "v")
     )
@@ -89,15 +100,97 @@ def cell_centroids(
     )
 
 
+def _argmin_cell(vec, codebook: list[tuple[int, list[float]]]):
+    """cell id of the nearest (squared-L2) codebook centroid, as a single
+    map-side column expression. The codebook is embedded as literals —
+    fine to ~10⁴ cell×dim products; past that, assignment becomes the
+    same broadcast equi-join shape `ivf_topk` uses for query routing.
+    Ties break to the smallest cell id (struct array_min orders by
+    (dist, cell)); the distance fold accumulates in index order, so the
+    value is bit-deterministic."""
+    cands = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec, F.array(*[F.lit(float(v)) for v in cent]),
+                    lambda x, c: ((x.cast("double") - c)
+                                  * (x.cast("double") - c)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            F.lit(int(cell)).alias("cell"),
+        )
+        for cell, cent in codebook
+    ])
+    return F.array_min(cands)["cell"]
+
+
+def learn_codebook(
+    embeddings: DataFrame, n_cells: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_mille: int = 1000,
+) -> list[tuple[int, list[float]]]:
+    """Learn an IVF codebook with deterministic hash-seeded Lloyd
+    iterations — no pre-existing cell/label column required.
+
+    Seeds are the `n_cells` rows ranked first by (md5(id-as-string), id)
+    — an ordering any engine reproduces, no RNG. Each iteration assigns
+    every vector to its nearest centroid map-side (`_argmin_cell`, zero
+    shuffle) and re-centroids with a per-dimension mean (the one shuffle
+    per iteration, bounded by `sample_mille` hash-sampling at scale). A
+    cell that loses every member keeps its previous centroid.
+
+    Driver-side state is only the codebook itself (n_cells×dims floats,
+    KBs) — justified: it is broadcast back as literals each iteration.
+    """
+    src = embeddings.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("vec"))
+    if sample_mille < 1000:
+        src = src.where(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(1000)) < sample_mille
+        )
+    seeds = (
+        src.orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n_cells).collect()
+    )
+    codebook = [(i, [float(v) for v in row["vec"]])
+                for i, row in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = src.withColumn("cell", _argmin_cell(F.col("vec"), codebook))
+        rows = cell_centroids(assigned, cell_col="cell", vec_col="vec",
+                              id_col="id").collect()
+        got = {int(r["cell"]): [float(v) for v in r["centroid"]] for r in rows}
+        codebook = [(c, got.get(c, cent)) for c, cent in codebook]
+    return codebook
+
+
 def ivf_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding", cell_col: str = "label",
     codebook_sample_mille: int = 1000,
+    codebook: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Route each query to its nprobe nearest cell centroids, then exact
-    cosine inside those cells only."""
-    cents = cell_centroids(embeddings, cell_col, vec_col,
-                           sample_mille=codebook_sample_mille, id_col=id_col)
+    cosine inside those cells only.
+
+    Two cell sources: a pre-partitioned `cell_col` (the fast case when
+    the table already carries one), or a learned `codebook` (from
+    `learn_codebook`) — then every corpus row is assigned map-side by
+    nearest-centroid, no label column needed."""
+    if codebook is not None:
+        spark = embeddings.sparkSession
+        embeddings = embeddings.withColumn(
+            "__cell", _argmin_cell(F.col(vec_col), codebook)
+        )
+        cell_col = "__cell"
+        cents = spark.createDataFrame(
+            [(c, v) for c, v in codebook], "cell int, centroid array<double>"
+        )
+    else:
+        cents = cell_centroids(embeddings, cell_col, vec_col,
+                               sample_mille=codebook_sample_mille,
+                               id_col=id_col)
     routed = queries.join(F.broadcast(cents)).select(
         "query_id", "qvec", "cell", _cos(F.col("qvec"), F.col("centroid")).alias("ccos")
     )

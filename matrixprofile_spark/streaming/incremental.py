@@ -128,11 +128,18 @@ def _commit_days(
         .partitionBy("day")
         .parquet(staging)
     )
+    # an all-NULL-day batch writes no data files at all; reading an empty
+    # staging dir would fail schema inference, so detect it and fall back
+    # to zero counts (the manifest rows still record the days as done)
+    has_part_files = any(
+        f.endswith(".parquet")
+        for _, _, files in os.walk(staging) for f in files
+    )
     counts = {
         int(r["day"]): int(r["cnt"])
         for r in spark.read.parquet(staging)
         .groupBy("day").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    } if has_part_files else {}
     entries = []
     for day in todo:
         src_dir = os.path.join(staging, f"day={day}")
@@ -175,11 +182,15 @@ def _list_days(workdir: str, stage: str) -> list[int]:
             else _table_path(workdir, src))
     if not os.path.isdir(path):
         return []
-    return sorted(
-        int(name.split("=", 1)[1])
-        for name in os.listdir(path)
-        if name.startswith("day=")
-    )
+    days = []
+    for name in os.listdir(path):
+        if not name.startswith("day="):
+            continue
+        try:  # tolerate day=__HIVE_DEFAULT_PARTITION__ (NULL day)
+            days.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(days)
 
 
 def run_incremental_rollup(

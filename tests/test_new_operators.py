@@ -234,6 +234,60 @@ def test_ivf_codebook_sampling_routes_like_full(spark):
         assert min(d, key=d.get) == cell
 
 
+def test_sampled_codebook_rescues_emptied_cells(spark):
+    """Hash-sampling must never drop a cell from the codebook: a cell
+    whose every row is sampled out falls back to its unsampled rows."""
+    from matrixprofile_spark.operators.similarity import cell_centroids
+
+    rows = [(i, 0, [float(i), 0.0]) for i in range(200)]
+    rows.append((10**6 + 7, 1, [0.0, 42.0]))  # 1-row cell
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    cents = {
+        r["cell"]: r["centroid"]
+        for r in cell_centroids(emb, cell_col="label",
+                                sample_mille=100).collect()
+    }
+    assert set(cents) == {0, 1}
+    assert cents[1] == [0.0, 42.0]
+
+
+def test_learned_codebook_recovers_clusters(spark):
+    """Deterministic hash-seeded Lloyd: learned cells must partition a
+    well-separated corpus exactly like its ground-truth clusters, and
+    ivf_topk over the learned codebook must equal brute force top-k."""
+    from matrixprofile_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        learn_codebook,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = [[20.0, 0.0, 0.0], [0.0, 20.0, 0.0], [0.0, 0.0, 20.0]]
+    rows = []
+    for g, c in enumerate(centers):
+        for i in range(40):
+            v = (np.array(c) + rng.normal(0, 0.5, 3)).tolist()
+            rows.append((g * 1000 + i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cb = learn_codebook(emb, n_cells=3, iters=3)
+    again = learn_codebook(emb, n_cells=3, iters=3)
+    assert cb == again  # deterministic end to end
+    learned = sorted(np.argmax(cent) for _, cent in cb)
+    assert learned == [0, 1, 2]  # one centroid per true cluster
+
+    queries = emb.where(F.col("vec_id").isin(3, 1001, 2002)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = ivf_topk(emb, queries, k=3, nprobe=1, codebook=cb).collect()
+    want = brute_force_topk(emb, queries, k=3).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in got]) \
+        == sorted([(r["query_id"], r["rank"], r["neighbor_id"]) for r in want])
+
+
 def test_multimodal_frame_sample_reassembles_payload(spark):
     """every_k=1 frame slices concatenate back to the exact payload —
     the byte-layout contract a real frame-sampling pipeline relies on."""
