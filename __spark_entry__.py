@@ -762,8 +762,8 @@ def _q_media_features(spark, sf_dir):
     """Binary media columns: synthesize payload+typed-metadata from
     documents (payload == utf8(text), deterministic), decode via the
     Arrow-batched fake decoder, extract byte-level features. The SQL
-    twin recomputes them character-wise (the corpus is ASCII, so code
-    points == payload bytes) — proving the binary plumbing end-to-end."""
+    twin recomputes them byte-wise from hex(utf8(text)) — exact for any
+    corpus, multi-byte characters included."""
     from matrixprofile_spark.operators import multimodal as MM
 
     media = MM.synthesize_media(_docs(spark, sf_dir))
@@ -780,8 +780,11 @@ def _q_media_frame_sample(spark, sf_dir):
     from matrixprofile_spark.operators import multimodal as MM
 
     media = MM.synthesize_media(_docs(spark, sf_dir))
+    # hex, not decode(UTF-8): frames are byte slices, and a multi-byte
+    # character split at a frame boundary is not valid UTF-8 — hex keeps
+    # the comparison byte-faithful for any corpus
     return MM.frame_sample(media, every_k=2).select(
-        "doc_id", "frame_idx", F.decode("frame", "UTF-8").alias("frame_text"),
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex"),
     )
 
 
@@ -1602,30 +1605,40 @@ SELECT id, md5(txt) AS content_md5,
 FROM t
 """.strip(),
         "media_features": """
-WITH chars AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+bytes AS (  -- byte i of the utf8 payload = 2 hex chars: byte-faithful
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(i * 2 + 1 AS INTEGER), 2)) AS INTEGER)
+         AS v
+  FROM h, unnest(range(0, nb)) t(i)
 ),
 agg AS (
-  SELECT doc_id, count(*) AS n, avg(unicode(c)) AS meanb,
-         max(unicode(c)) AS maxb
-  FROM chars GROUP BY 1
+  SELECT doc_id, avg(v) AS meanb, max(v) AS maxb FROM bytes GROUP BY 1
 )
-SELECT d.doc_id,
+SELECT h.doc_id,
        list_extract(['image', 'audio', 'video'],
-                    CAST(d.doc_id % 3 AS INTEGER) + 1) AS kind,
+                    CAST(h.doc_id % 3 AS INTEGER) + 1) AS kind,
        16 AS width,
-       CAST(ceil(length(d.text) / 16.0) AS INTEGER) AS height,
-       CAST(length(d.text) AS INTEGER) AS n_bytes,
+       CAST(ceil(h.nb / 16.0) AS INTEGER) AS height,
+       CAST(h.nb AS INTEGER) AS n_bytes,
        round(a.meanb, 4) AS mean_byte_r4,
        a.maxb AS max_byte
-FROM documents d JOIN agg a USING (doc_id)
+FROM h JOIN agg a USING (doc_id)
 """.strip(),
         "media_frame_sample": """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+)
 SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
-       substr(text, CAST(fi * 64 + 1 AS INTEGER), 64) AS frame_text
-FROM documents,
-     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT), 2)) AS t(fi)
-WHERE doc_id % 3 = 2
+       substr(hx, CAST(fi * 128 + 1 AS INTEGER), 128) AS frame_hex
+FROM h, unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT), 2)) AS t(fi)
+WHERE nb > 0
 """.strip(),
         "ann_brute_topk": f"""
 WITH q AS (

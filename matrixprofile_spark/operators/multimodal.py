@@ -118,28 +118,34 @@ def media_features(media: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Every k-th fixed-stride frame of each video payload.
 
-    The mapInPandas stage fans one row out to ``ceil(n_frames/k)`` rows
-    carrying binary frame slices — the decode-side shape of a
-    frame-sampling training pipeline. The video filter is Catalyst-side
-    so non-video payload bytes never reach Python."""
-    schema = "doc_id bigint, frame_idx int, frame binary"
+    Pure Catalyst: the frame fan-out is ``explode(sequence(0,
+    n_frames-1, k))`` and each frame is a byte-wise ``substring`` on the
+    binary payload — zero Python, whole-stage codegen, no shuffle (the
+    explode is a narrow map-side generator). A real-codec pipeline would
+    swap the substring for a decode `mapInPandas` at the seam documented
+    in ``decode_with_real_codecs``; the fan-out/filter shape stays.
 
-    def fn(it):
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids, idxs, frames = [], [], []
-            for did, p in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(p)
-                n_frames = -(-len(raw) // FRAME_BYTES)
-                for fi in range(0, n_frames, every_k):
-                    ids.append(did)
-                    idxs.append(fi)
-                    frames.append(
-                        raw[fi * FRAME_BYTES:(fi + 1) * FRAME_BYTES]
-                    )
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
-            )
-
-    return media.where(F.col("kind") == "video").mapInPandas(fn, schema)
+    The video filter is Catalyst-side so non-video payloads are pruned
+    before the generator."""
+    n_frames = F.ceil(F.octet_length("payload") / FRAME_BYTES).cast("int")
+    return (
+        media.where(F.col("kind") == "video")
+        .where(F.octet_length("payload") > 0)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("int"), n_frames - 1,
+                    F.lit(int(every_k)).cast("int"),
+                )
+            ).alias("frame_idx"),
+            "payload",
+        )
+        .select(
+            "doc_id", "frame_idx",
+            F.expr(
+                f"substring(payload, frame_idx * {FRAME_BYTES} + 1,"
+                f" {FRAME_BYTES})"
+            ).alias("frame"),
+        )
+    )
