@@ -720,9 +720,14 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     from matrixprofile_spark.operators import dedup as DD
 
     corpus = _doc_corpus(spark, sf_dir)
-    sh = DD.shingles(corpus, n=3)
-    sigs = DD.minhash_signatures(sh, num_hashes=8)
+    # signatures read the NON-distinct shingle stream (min is duplicate-
+    # insensitive → pure map-side partial-min before its exchange);
+    # exact-Jaccard needs the distinct shingle sets
+    sigs = DD.minhash_signatures(
+        DD.shingles(corpus, n=3, distinct=False), num_hashes=8
+    )
     pairs = DD.lsh_candidate_pairs(sigs, bands=4)
+    sh = DD.shingles(corpus, n=3)
     return DD.jaccard_pairs(sh, pairs).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
     )

@@ -45,9 +45,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
-    """(id, shingle) rows — distinct word n-grams per document."""
-    toks = tokens_col(text_col)
+             text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """(id, shingle) rows — word n-grams per document.
+
+    ``distinct=True`` (needed by exact-Jaccard counting) costs a full
+    shuffle of the exploded table. Pass ``distinct=False`` for
+    min-based consumers (minhash_signatures): min is duplicate-
+    insensitive, and skipping the dedup lets the signature groupBy's
+    map-side partial-min collapse each partition to one row per id
+    BEFORE its exchange — measured ~2× on the LSH pipeline (a raw
+    repartition-by-id variant that tried to share one exchange shipped
+    every duplicate shingle unreduced and came out slower)."""
+    # materialize the token array in a projection BELOW the generator:
+    # referencing tokens_col() directly inside the transform lambda
+    # re-evaluates the split() for every gram (n_grams × O(text) — was
+    # the single hottest expression in the LSH pipeline); as a bound
+    # column it is computed once per row
+    toks = F.col("__toks")
     # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
     grams = F.when(
         F.size(toks) >= n,
@@ -56,10 +70,10 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+    ).select("id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
