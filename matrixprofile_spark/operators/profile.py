@@ -364,13 +364,30 @@ def snippet_profiles(
 def pairwise_mpdist(
     series: DataFrame, w: int, threshold: float = 0.05,
     metric: str = "token_count", packed: bool = False,
+    max_pairs: int | None = 1_000_000,
 ) -> DataFrame:
     """All-pairs MPDist across conversations: the engine's genuine
     theta self-join (pairwise_dist.py:36-101 distributed). Packed rows
-    join on conv_id_a < conv_id_b; each pair is one Arrow task."""
+    join on conv_id_a < conv_id_b; each pair is one Arrow task.
+
+    The operator IS quadratic by spec (a condensed all-pairs distance
+    matrix) and is meant for small chosen sets; ``max_pairs`` refuses a
+    plan whose n·(n−1)/2 pair count exceeds the bound (loud, with the
+    measured n) instead of silently scheduling billions of Arrow tasks
+    — the same audit-over-silence pattern as hot_lsh_buckets. Pass
+    ``max_pairs=None`` to waive after sizing the cost."""
     src = (series if packed else pack_series(series)).where(
         F.col("metric") == metric
     )
+    if max_pairs is not None:
+        n = src.count()  # one cheap count vs an unbounded theta join
+        n_pairs = n * (n - 1) // 2
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"pairwise_mpdist: {n} series -> {n_pairs} pairs exceeds "
+                f"max_pairs={max_pairs}; choose a smaller set (length-band "
+                "or cluster prefilter), or pass max_pairs=None to force"
+            )
     a = src.select(
         F.col("conv_id").alias("conv_id_a"),
         F.col("metric").alias("metric"),

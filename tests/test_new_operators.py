@@ -81,6 +81,17 @@ def test_hierarchical_assignments_groups_duplicates(spark, arrays):
     assert out["a"] != out["b"]
 
 
+def test_pairwise_mpdist_refuses_pair_explosion(spark, arrays):
+    """The quadratic theta join must refuse loudly, not schedule n²/2
+    Arrow tasks, when the series set exceeds max_pairs."""
+    ser = _series_df(spark, arrays)  # 3 series -> 3 pairs
+    with pytest.raises(ValueError, match="exceeds max_pairs"):
+        P.pairwise_mpdist(ser, 8, metric="m", max_pairs=2)
+    # at or under the bound (and with the guard waived) it runs
+    assert len(P.pairwise_mpdist(ser, 8, metric="m", max_pairs=3).collect()) == 3
+    assert len(P.pairwise_mpdist(ser, 8, metric="m", max_pairs=None).collect()) == 3
+
+
 def test_json_roundtrip_preserves_profiles(spark, arrays):
     from matrixprofile_spark.io.json_io import (
         read_profiles_json,
