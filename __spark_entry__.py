@@ -600,31 +600,47 @@ def _q_mstomp_w16(spark, sf_dir):
 
 
 def _q_prescrimp_w16(spark, sf_dir):
-    """PreSCRIMP anytime approximation (scrimp.py:211-406) at
-    sample_pct=0.5 with per-series crc32 seeds; approximate by design →
-    rows-only check (the exact path is covered by scrimp_exact_w16)."""
+    """PreSCRIMP anytime approximation (scrimp.py:211-406), VALUE-checked
+    via its anytime contract: every PreSCRIMP value is a true
+    subsequence distance, so (a) mp_pre ≥ mp_exact − ε everywhere and
+    (b) mp_pre == mp_exact (±ε) at every anchor of the deterministic
+    stride-step compute order. The query emits the exact profile
+    (hash-matched against the brute-force SQL) plus per-row booleans
+    carrying both claims; the oracle states them as literal TRUE, so
+    any violation is a driver hash mismatch, not a silent pass."""
     import numpy as np
     import pandas as pd
-    import zlib
 
+    from matrixprofile_spark.kernels.mpx import mpx_self_join
     from matrixprofile_spark.kernels.scrimp import prescrimp
 
     chosen = _chosen_token_series(spark, sf_dir)
+    tol = 1e-4  # FFT-MASS vs cumsum-kernel float paths, both ~1e-9;
+    # headroom for the neighbor-diagonal dot-product drift
 
     def fn(key, pdf):
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
-        seed = zlib.crc32(f"{key[0]}|{key[1]}".encode()) & 0x7FFFFFFF
-        prof = prescrimp(values, _MPX_W, sample_pct=0.5, random_state=seed)
-        mp = np.asarray(prof["mp"], dtype="d")
-        fin = np.isfinite(mp)
+        prof = prescrimp(values, _MPX_W, sample_pct=0.5)
+        pre = np.asarray(prof["mp"], dtype="d")
+        exact, _ = mpx_self_join(values, _MPX_W)
+        fin = np.isfinite(exact)
+        step = int(np.floor(_MPX_W * 0.25))
+        is_anchor = np.zeros(len(pre), dtype=bool)
+        is_anchor[np.arange(0, len(pre), step)] = True
+        anytime_ok = pre >= exact - tol
+        anchor_ok = ~is_anchor | (np.abs(pre - exact) <= tol)
         return pd.DataFrame({
             "conv_id": key[0],
-            "idx": np.arange(len(mp), dtype="int64")[fin],
-            "dist_r2": np.round(mp[fin], 2),
+            "idx": np.arange(len(exact), dtype="int64")[fin],
+            "dist_r2": np.round(exact[fin], 2),
+            "anytime_ok": anytime_ok[fin],
+            "anchor_ok": anchor_ok[fin],
         })
 
     return chosen.groupBy("conv_id", "metric").applyInPandas(
-        fn, "conv_id string, idx bigint, dist_r2 double"
+        fn,
+        "conv_id string, idx bigint, dist_r2 double, "
+        "anytime_ok boolean, anchor_ok boolean",
     )
 
 
@@ -1965,6 +1981,35 @@ corr AS (
 best AS (SELECT conv_id, i AS idx, max(c) AS cmax FROM corr GROUP BY 1, 2)
 SELECT conv_id, idx,
        round(sqrt(2 * {_MPX_W} * (1 - least(cmax, 1.0))), 2) AS dist_r2
+FROM best
+""".strip(),
+        # PreSCRIMP's anytime contract as a value check: the exact
+        # profile must hash-match the brute-force SQL, and the two
+        # boolean claims (computed Spark-side against the PreSCRIMP
+        # run) must all be TRUE — a violated bound mismatches the hash.
+        "prescrimp_w16": f"""
+WITH {_CHOSEN_CTE},
+dots AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j, sum(x.value * y.value) AS qt
+  FROM sub a
+  JOIN sub b ON a.conv_id = b.conv_id AND abs(a.i - b.i) > {_MPX_MINLAG}
+  JOIN r x ON x.conv_id = a.conv_id AND x.i >= a.i AND x.i < a.i + {_MPX_W}
+  JOIN r y ON y.conv_id = a.conv_id AND y.i = b.i + (x.i - a.i)
+  GROUP BY 1, 2, 3
+),
+corr AS (
+  SELECT d.conv_id, d.i,
+    CASE WHEN sa.sig = 0 OR sb.sig = 0 THEN 0.0
+         ELSE (d.qt - {_MPX_W} * sa.mu * sb.mu)
+              / ({_MPX_W} * sa.sig * sb.sig) END AS c
+  FROM dots d
+  JOIN sub sa ON sa.conv_id = d.conv_id AND sa.i = d.i
+  JOIN sub sb ON sb.conv_id = d.conv_id AND sb.i = d.j
+),
+best AS (SELECT conv_id, i AS idx, max(c) AS cmax FROM corr GROUP BY 1, 2)
+SELECT conv_id, idx,
+       round(sqrt(2 * {_MPX_W} * (1 - least(cmax, 1.0))), 2) AS dist_r2,
+       TRUE AS anytime_ok, TRUE AS anchor_ok
 FROM best
 """.strip(),
         "mass2_w16": f"""
