@@ -113,6 +113,26 @@ def _q_gapfill_locf(spark, sf_dir):
     return gapfill.gapfill_locf(tok, 60, "forward")
 
 
+def _q_gapfill_sequential(spark, sf_dir):
+    """Exact SEQUENTIAL window-mean imputation (preprocess.py:140-222):
+    fills feed later windows, closing gaps wider than the window. Run
+    on the 5 chosen conversations' token grid with window=3 (narrow
+    enough that real gaps exceed it — the sequential path is exercised,
+    not vacuously equal to the one-shot). The oracle replays the same
+    position-by-position fill with a DuckDB recursive CTE carrying the
+    series as a list."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    sizes = tok.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    chosen = (
+        sizes.where((F.col("n") >= 64) & (F.col("n") <= 400))
+        .orderBy("conv_id").limit(5).select("conv_id")
+    )
+    grid = gapfill.to_grid(tok.join(F.broadcast(chosen), "conv_id"), 60)
+    out = gapfill.fill_sequential(grid, window=3, method="mean")
+    return out.select("conv_id", "metric", "ts_epoch",
+                      F.round("value", 6).alias("value_r6"))
+
+
 def _q_gapfill_window_mean(spark, sf_dir):
     """Sliding-window mean imputation over the densified grid
     (preprocess.py:202-222 one-shot semantics): each NULL grid point
@@ -974,6 +994,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "gapfill_window_mean": _q_gapfill_window_mean,
         "gapfill_locf": _q_gapfill_locf,
+        "gapfill_sequential": _q_gapfill_sequential,
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
         "moving_stats_w8": _q_moving_stats,
@@ -2871,6 +2892,72 @@ SELECT conv_id, metric, ts_epoch,
          (PARTITION BY conv_id, metric ORDER BY ts_epoch
           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 6) AS value_r6
 FROM j
+""".strip(),
+        # exact sequential window-mean fill: a recursive CTE carries each
+        # series as a list and applies the kernel's position-by-position
+        # update (preprocess.py:140-222) — fills visible to later windows.
+        # Grid endpoints are observed buckets by construction, so the
+        # kernel's first/last boundary fill never triggers.
+        "gapfill_sequential": f"""
+WITH RECURSIVE transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+b AS (
+  SELECT t.conv_id, metric,
+         CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS ts_epoch,
+         sum(value) / count(value) AS value
+  FROM tok t JOIN chosen c ON c.conv_id = t.conv_id
+  GROUP BY 1, 2, 3
+),
+spans AS (
+  SELECT conv_id, metric, min(ts_epoch) AS t0, max(ts_epoch) AS t1
+  FROM b GROUP BY 1, 2
+),
+grid AS (
+  SELECT conv_id, metric,
+         unnest(generate_series(t0, t1, 60)) AS ts_epoch
+  FROM spans
+),
+j AS (
+  SELECT g.conv_id, g.metric, g.ts_epoch, b.value
+  FROM grid g LEFT JOIN b USING (conv_id, metric, ts_epoch)
+),
+packed AS (
+  SELECT conv_id, metric,
+         list(ts_epoch ORDER BY ts_epoch) AS tss,
+         list(value ORDER BY ts_epoch) AS vals
+  FROM j GROUP BY 1, 2
+),
+seq AS (
+  SELECT conv_id, metric, tss, vals, 1 AS s FROM packed
+  UNION ALL
+  SELECT conv_id, metric, tss,
+         list_transform(range(1, len(vals) + 1), i ->
+           CASE WHEN i >= s AND i < s + 3 AND vals[i] IS NULL
+                THEN list_aggregate(
+                       list_filter(vals[s:s+2], x -> x IS NOT NULL), 'avg')
+                ELSE vals[i] END) AS vals,
+         s + 1 AS s
+  FROM seq WHERE s <= len(vals) - 3 + 1
+),
+final AS (
+  SELECT conv_id, metric, tss, vals,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY s DESC) AS rn
+  FROM seq
+)
+SELECT conv_id, metric, CAST(tss[CAST(i AS INTEGER)] AS BIGINT) AS ts_epoch,
+       round(vals[CAST(i AS INTEGER)], 6) AS value_r6
+FROM final, unnest(range(1, len(tss) + 1)) AS t(i)
+WHERE rn = 1
 """.strip(),
         "moving_stats_w8": f"""
 WITH transcripts AS ({_T}),

@@ -119,6 +119,39 @@ def fill_locf(grid: DataFrame, direction: str = "forward") -> DataFrame:
     )
 
 
+def fill_sequential(
+    grid: DataFrame, window: int, method: str = "mean",
+    direction: str = "forward",
+) -> DataFrame:
+    """EXACT reference-sequential imputation (preprocess.py:140-222
+    parity): the window slides one position at a time and every fill is
+    visible to later windows, so gaps wider than the window close fully
+    — where the one-shot `fill_window_stat` leaves the deep interior
+    NULL (divergence pinned at tests/test_rollup.py).
+
+    Runs kernels.preprocess.impute_missing per (conv_id, metric) group
+    through an Arrow `applyInPandas` bridge: one shuffle on the series
+    key (which rollup output already carries), then a narrow grouped
+    map — the same grouped-kernel shape as mpx_profiles. Prefer
+    fill_window_stat (pure Catalyst, no Python) when gaps are known to
+    be narrower than the window; the two agree exactly there."""
+    import numpy as np
+    import pandas as pd
+
+    from matrixprofile_spark.kernels.preprocess import impute_missing
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_epoch")
+        vals = pdf["value"].to_numpy(dtype="float64")  # NULL -> NaN
+        pdf = pdf.assign(value=impute_missing(
+            vals, window, method=method, direction=direction))
+        return pdf[["conv_id", "metric", "ts_epoch", "value"]]
+
+    return grid.groupBy("conv_id", "metric").applyInPandas(
+        fn, "conv_id string, metric string, ts_epoch bigint, value double"
+    )
+
+
 def fill_window_stat(
     grid: DataFrame, window: int, method: str = "mean", direction: str = "forward"
 ) -> DataFrame:

@@ -214,3 +214,32 @@ def test_gapfill_window_stat_wide_gap_divergence(spark):
         method="mean", direction="forward",
     )
     np.testing.assert_allclose(one_shot, seq2)
+
+
+def test_fill_sequential_matches_kernel_on_wide_gaps(spark):
+    """The Arrow-bridged fill_sequential must reproduce the reference's
+    sequential impute_missing bit-for-bit — including gaps wider than
+    the window, where the one-shot operator diverges — and for every
+    method and direction."""
+    from matrixprofile_spark.kernels.preprocess import impute_missing
+
+    vals = ([10.0] * 10 + [None] * 8 + [20.0] * 7
+            + [None] * 3 + [5.0] * 6)
+    grid = spark.createDataFrame(
+        [("c", "m", i, v) for i, v in enumerate(vals)]
+        + [("d", "m", i, v) for i, v in enumerate(reversed(vals))],
+        "conv_id string, metric string, ts_epoch long, value double",
+    )
+    arr = np.array([np.nan if v is None else v for v in vals])
+    for method in ("mean", "median", "min", "max"):
+        for direction in ("forward", "backward"):
+            got = (
+                gapfill.fill_sequential(grid, window=5, method=method,
+                                        direction=direction)
+                .orderBy("conv_id", "ts_epoch").toPandas()
+            )
+            for cid, ref_in in (("c", arr), ("d", arr[::-1])):
+                want = impute_missing(ref_in.copy(), window=5,
+                                      method=method, direction=direction)
+                sub = got[got.conv_id == cid].value.to_numpy()
+                np.testing.assert_array_equal(sub, want)
