@@ -52,6 +52,9 @@ PROBE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_LEN", "8192"))
 PROBE_CASCADE_SERIES = int(os.environ.get("SPARK_GRAFT_PROBE_CASCADE_SERIES", "2048"))
 PROBE_CASCADE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_CASCADE_LEN", "262144"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# fixed-N probe protocol: exactly this many interleaved (lo, hi) pairs,
+# declared before the run — no adaptive retry (see scaling block below)
+PROBE_PAIRS = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "4"))
 
 # headline queries (subset of __spark_entry__.queries(); each also has a
 # DuckDB oracle in oracle_sql(), so what we time is what we verify)
@@ -207,18 +210,15 @@ def probe_job(cores: int) -> dict:
 
         tier_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         # one cascade run per JVM (the harness already keeps the best of
-        # two fresh-JVM probes); codegen is warm from the prim run
+        # two fresh-JVM probes); codegen is warm from the prim run.
+        # materialize_cascade: every tier lands in ONE action/commit
+        # (partitionBy tier, shared raw→1m stage reused) — the chained
+        # write→read→write loop paid a ~3 s core-count-invariant
+        # commit+reread constant PER TIER, the main drag on the cascade
+        # scaling number (r3 stage isolation; VERDICT r3 next #2)
         tmp = tempfile.mkdtemp(prefix="bench_tiers_", dir=tier_base)
         t0 = time.time()
-        # one output file per core: the commit path scales with the
-        # writer count instead of the shuffle-partition count
-        rollup.rollup_from_raw(ser, rollup.TIERS_S["1m"]).coalesce(
-            cores).write.mode("overwrite").parquet(f"{tmp}/r1m")
-        r1m = spark.read.parquet(f"{tmp}/r1m")
-        rollup.rollup_cascade(r1m, rollup.TIERS_S["1h"]).coalesce(
-            cores).write.mode("overwrite").parquet(f"{tmp}/r1h")
-        r1h = spark.read.parquet(f"{tmp}/r1h")
-        force(rollup.rollup_cascade(r1h, rollup.TIERS_S["1d"]))
+        rollup.materialize_cascade(ser, f"{tmp}/tiers", files_per_tier=cores)
         t_cascade = time.time() - t0
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -372,33 +372,20 @@ def main_bench() -> dict:
 
     scaling = None
     if RUN_SCALING:
-        # INTERLEAVED lo/hi pairs: host-noise epochs last minutes, so
-        # running all lo probes then all hi probes lets one epoch hit a
-        # single core count and corrupt the ratio; pairing samples both
-        # core counts inside every epoch.
-        # asymmetric sampling: a hi-core probe costs ~1/3 of a lo-core
-        # probe, and the min-estimator's weak spot is a missing clean hi
-        # sample (one dirty hi window deflates the ratio), so every lo
-        # sample is paired with TWO hi samples inside the same epoch
+        # FIXED-N SYMMETRIC protocol, declared up front: exactly
+        # PROBE_PAIRS interleaved (lo, hi) pairs, no adaptive retry.
+        # Interleaving keeps both core counts inside every host-noise
+        # epoch (epochs last minutes; all-lo-then-all-hi lets one epoch
+        # hit a single core count and corrupt the ratio). The r3 harness
+        # sampled hi twice per lo and retried until the estimate cleared
+        # the bar — both mildly optimistic under a min-estimator
+        # (VERDICT r3 "what's wrong" #3, ADVICE); this build publishes
+        # one pre-declared symmetric protocol plus every raw sample.
         runs_lo: list[dict] = []
         runs_hi: list[dict] = []
-        for _ in range(3):
+        for i in range(PROBE_PAIRS):
+            log(f"probe pair {i + 1}/{PROBE_PAIRS}")
             runs_lo.append(run_probe_subprocess(SCALE_LO))
-            runs_hi.append(run_probe_subprocess(SCALE_HI))
-            runs_hi.append(run_probe_subprocess(SCALE_HI))
-        # adaptive retry: when the combined estimate still reads < 0.82
-        # the samples were probably all taken inside a noise epoch —
-        # spend up to 3 extra rounds tightening the component minima
-        for _ in range(3):
-            lo0, hi0 = _combine(runs_lo), _combine(runs_hi)
-            if not lo0 or not hi0:
-                break
-            eff0 = (lo0["wall_sec"] / hi0["wall_sec"]) / (SCALE_HI / SCALE_LO)
-            if eff0 >= 0.82:
-                break
-            log(f"scaling eff {eff0:.3f} < 0.82 — extra probe pair")
-            runs_lo.append(run_probe_subprocess(SCALE_LO))
-            runs_hi.append(run_probe_subprocess(SCALE_HI))
             runs_hi.append(run_probe_subprocess(SCALE_HI))
         lo = _combine(runs_lo)
         hi = _combine(runs_hi)

@@ -114,6 +114,21 @@ def test_cascade_equals_from_raw(transcripts):
     pd.testing.assert_frame_equal(from_1m, from_raw)
 
 
+def test_materialize_cascade_matches_chained(transcripts, tmp_path):
+    """The single-action partitionBy("tier") write must land exactly the
+    rows the chained write→read→write loop would — per tier, bit-for-bit
+    (set equality; ordering is not part of the contract)."""
+    ser = S.project_series(transcripts)
+    got = rollup.materialize_cascade(ser, str(tmp_path / "tiers"),
+                                     files_per_tier=4)
+    want = rollup.build_cascade(ser)
+    for tier in ("1m", "1h", "1d"):
+        a, b = got[tier], want[tier]
+        assert a.columns == b.columns
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+
 def test_retention_cover_is_disjoint_and_total(transcripts):
     ser = S.project_series(transcripts)
     now = ser.agg({"ts_epoch": "max"}).collect()[0][0]
