@@ -108,6 +108,24 @@ def _q_rollup_1h_stats(spark, sf_dir):
     return rollup.with_derived_stats(rollup.build_cascade(ser)["1h"])
 
 
+def _q_cascade_fused(spark, sf_dir):
+    """All three retention tiers written in ONE Spark action
+    (materialize_cascade: tier-union + partitionBy("tier") — the shared
+    raw→1m stage is computed once) and read back; every tier row must
+    equal the per-tier batch oracles. This is the physical path the
+    scaling probe times, oracle-checked end-to-end through its actual
+    write+read."""
+    import tempfile
+
+    ser = _series(spark, sf_dir)
+    wd = tempfile.mkdtemp(prefix="mp_spark_cascade_")
+    rollup.materialize_cascade(ser, f"{wd}/tiers", files_per_tier=8)
+    return (
+        spark.read.parquet(f"{wd}/tiers")
+        .withColumn("tier", F.col("tier").cast("string"))
+    )
+
+
 def _q_gapfill_locf(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     return gapfill.gapfill_locf(tok, 60, "forward")
@@ -291,6 +309,38 @@ def _q_tier_discords_1m(spark, sf_dir):
         F.posexplode("discords").alias("rank", "idx"),
     ).select("conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
              F.col("idx").cast("bigint").alias("idx"))
+
+
+def _q_tier_motifs_1m(spark, sf_dir):
+    """north_star alignment, motif half: top-3 motif pairs surfaced per
+    ROLLUP TIER — the same 1m-tier mean series as tier_discords_1m, run
+    through the full motif-discovery chain at w=8. The oracle is the
+    parameterized suppression-CTE motifs twin over the tier CTE."""
+    ser = _series(spark, sf_dir).where(F.col("metric") == "token_count")
+    r1m = rollup.rollup_from_raw(ser, 60)
+    wnd = W.partitionBy("conv_id").orderBy("bucket_epoch")
+    tier_series = r1m.select(
+        "conv_id", F.lit("token_count_1m").alias("metric"),
+        (F.row_number().over(wnd) - 1).cast("long").alias("idx"),
+        (F.col("vsum") / F.col("cnt")).alias("value"),
+    )
+    chosen = (
+        P.pack_series(tier_series)
+        .where((F.col("n") >= 64) & (F.col("n") <= 400))
+        .orderBy("conv_id")
+        .limit(5)
+    )
+    prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
+                              n_groups=5)
+    return disc.select(
+        "conv_id", "metric",
+        F.posexplode("motif_pairs").alias("rank", "pair"),
+    ).select(
+        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+        F.element_at("pair", 1).alias("first_idx"),
+        F.element_at("pair", 2).alias("second_idx"),
+    )
 
 
 def _q_global_discords(spark, sf_dir):
@@ -707,6 +757,35 @@ def _q_stream_stateful_stats(spark, sf_dir):
                                  query_name=f"state_stats_{_STREAM_SEQ[0]}")
 
 
+def _q_stream_mpx_incremental(spark, sf_dir):
+    """STAMPI-style stateful streaming matrix profile: the chosen token
+    series arrive shuffled across 8 single-file micro-batches (out of
+    order by construction); per-series state grows the profile only
+    over the contiguous prefix, so the final snapshot must equal the
+    batch MPX brute-force oracle bit-for-bit at 2 decimals."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import (
+        stream_mpx_incremental,
+    )
+
+    chosen = _chosen_token_series(spark, sf_dir)
+    pts = chosen.select(
+        "conv_id", F.posexplode("values").alias("idx", "value")
+    ).select("conv_id", F.col("idx").cast("long").alias("idx"),
+             F.col("value").cast("double").alias("value"))
+    wd = tempfile.mkdtemp(prefix="mp_spark_stampi_")
+    # hash-repartition: each file holds a pseudo-random slice of every
+    # series, so arrival order is maximally out-of-order
+    pts.repartition(8).write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    out = stream_mpx_incremental(
+        spark, f"{wd}/src", w=_MPX_W, minlag=_MPX_MINLAG,
+        query_name=f"stampi_{_STREAM_SEQ[0]}", files_per_trigger=2)
+    return out.select(
+        "conv_id", "idx", F.round("dist", 2).alias("dist_r2"))
+
+
 def _q_stream_rollup_1m(spark, sf_dir):
     """raw→1m rollup via Structured Streaming (file source, event-time
     windows, availableNow trigger); must equal the batch rollup oracle."""
@@ -997,12 +1076,15 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_sequential": _q_gapfill_sequential,
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
+        "cascade_fused": _q_cascade_fused,
+        "stream_mpx_incremental": _q_stream_mpx_incremental,
         "moving_stats_w8": _q_moving_stats,
         "statistics_global": _q_statistics_global,
         "retention_view": _q_retention_view,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
         "tier_discords_1m": _q_tier_discords_1m,
+        "tier_motifs_1m": _q_tier_motifs_1m,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1118,6 +1200,40 @@ sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
 """.strip()
 
 
+def _tier1m_cte(w: int, stats: str) -> str:
+    """The 1m-rollup-tier mean series (same construction as the
+    tier_discords_1m oracle: token_count per-bucket vsum/cnt, gaps
+    collapsed to a contiguous index, 5 chosen conversations) as a CTE
+    base for the parameterized motifs oracle — defines `r` plus the
+    `stats` window-stats CTE for width w."""
+    return f"""
+transcripts AS ({_T}),
+tokt AS (
+  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+r1mt AS (
+  SELECT conv_id, CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+         sum(value) AS vsum, count(value) AS cnt
+  FROM tokt GROUP BY 1, 2
+),
+tsert AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_epoch)
+              - 1 AS BIGINT) AS i,
+         vsum / cnt AS value
+  FROM r1mt
+),
+sizest AS (SELECT conv_id, count(*) AS n FROM tsert GROUP BY 1),
+chosent AS (
+  SELECT conv_id FROM sizest WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+r AS (SELECT t.conv_id, t.i, t.value FROM tsert t JOIN chosent USING (conv_id)),
+{_w_stats_sql(w, stats)}
+""".strip()
+
+
 _CORPUS_CTE = """
 corpus AS (
   SELECT doc_id, text FROM documents
@@ -1199,7 +1315,10 @@ b{tag} AS (
 
 
 def _motifs_oracle_sql(k: int = 3, max_neighbors: int = 10,
-                       radius: int = 3) -> str:
+                       radius: int = 3, *, base_cte: str | None = None,
+                       w: int | None = None, minlag: int | None = None,
+                       ez: int | None = None, metric: str = "token_count",
+                       stats: str = "sub") -> str:
     """DuckDB twin of top_k_motifs (reference top_k_motifs.py:174-314)
     as a generated chain of suppression CTEs.
 
@@ -1210,9 +1329,17 @@ def _motifs_oracle_sql(k: int = 3, max_neighbors: int = 10,
     at every accepted neighbor (nd ≤ radius·min_dist, up to
     max_neighbors), masking both dp and the carried profile. An invalid
     neighbor pick leaves the mask unchanged, so every later pick repeats
-    it and stays invalid — the SQL equivalent of the kernel's `break`."""
-    w, ez, minlag = _MPX_W, 4, _MPX_MINLAG
-    parts = [f"""WITH {_CHOSEN_CTE},
+    it and stays invalid — the SQL equivalent of the kernel's `break`.
+
+    Parameterizable over the series source: `base_cte` must define `r`
+    (conv_id, i, value) plus a window-stats CTE named `stats` for width
+    `w` (defaults reproduce the chosen-token-series motifs_top3 oracle;
+    tier_motifs_1m passes the 1m-tier CTE with w=8)."""
+    w = _MPX_W if w is None else w
+    ez = -(-w // 4) if ez is None else ez
+    minlag = -(-w // 4) if minlag is None else minlag
+    base = _CHOSEN_CTE if base_cte is None else base_cte
+    parts = [f"""WITH {base},
 prods AS (
   SELECT x.conv_id, y.i - x.i AS d, x.i AS i, x.value * y.value AS p
   FROM r x JOIN r y ON y.conv_id = x.conv_id AND y.i >= x.i
@@ -1231,8 +1358,8 @@ corr0 AS (
          ELSE (q.qt - {w} * sa.mu * sb.mu)
               / ({w} * sa.sig * sb.sig) END AS c
   FROM qtall q
-  JOIN sub sa ON sa.conv_id = q.conv_id AND sa.i = q.i
-  JOIN sub sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
+  JOIN {stats} sa ON sa.conv_id = q.conv_id AND sa.i = q.i
+  JOIN {stats} sb ON sb.conv_id = q.conv_id AND sb.i = q.i + q.d
   WHERE q.d > {minlag}
 ),
 cboth AS MATERIALIZED (
@@ -1274,8 +1401,8 @@ massd AS (
                   / (CASE WHEN st.sig * sq.sig = 0 THEN 1e-12
                           ELSE st.sig * sq.sig END)) END, 0.0)) AS d0
     FROM pairsq p
-    JOIN sub st ON st.conv_id = p.conv_id AND st.i = p.jt
-    JOIN sub sq ON sq.conv_id = p.conv_id AND sq.i = p.iq
+    JOIN {stats} st ON st.conv_id = p.conv_id AND st.i = p.jt
+    JOIN {stats} sq ON sq.conv_id = p.conv_id AND sq.i = p.iq
   )
 ),
 cm0 AS (SELECT '' AS conv_id, CAST(NULL AS BIGINT) AS c WHERE 1 = 0)"""]
@@ -1335,7 +1462,7 @@ cm{rnd} AS MATERIALIZED (
   UNION ALL SELECT conv_id, c FROM ncs{rnd}_{max_neighbors}
 )""")
     finals = [
-        f"""SELECT conv_id, 'token_count' AS metric,
+        f"""SELECT conv_id, '{metric}' AS metric,
        CAST({rnd - 1} AS BIGINT) AS rank,
        CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx
 FROM fs{rnd}""" for rnd in range(1, k + 1)
@@ -2817,6 +2944,10 @@ GROUP BY 1, 2
 """.strip(),
         "rollup_1h": _rollup_oracle(3600),
         "rollup_1d": _rollup_oracle(86400),
+        "cascade_fused": " UNION ALL ".join(
+            f"SELECT *, '{tier}' AS tier FROM ({_rollup_oracle(tier_s)})"
+            for tier, tier_s in (("1m", 60), ("1h", 3600), ("1d", 86400))
+        ),
         "rollup_1h_stats": f"""
 WITH {_SERIES_CTE},
 r AS (
@@ -3024,7 +3155,12 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     # the JSON io layer must be value-preserving: the round-tripped MPX
     # profile shares the brute-force oracle verbatim
     out["profile_json_roundtrip"] = out["mpx_w16"]
+    # the drained incremental stream must equal the batch profile
+    out["stream_mpx_incremental"] = out["mpx_w16"]
     out["motifs_top3"] = _motifs_oracle_sql()
+    out["tier_motifs_1m"] = _motifs_oracle_sql(
+        base_cte=_tier1m_cte(8, "subt"), w=8, metric="token_count_1m",
+        stats="subt")
     out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
     # the resumed memo store must equal the from-scratch sweep
     out["skimp_memo_resume"] = out["skimp_pmp"]

@@ -20,12 +20,38 @@ is lost).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SERIES_SCHEMA = (
     "conv_id string, metric string, idx long, ts_epoch long, value double"
 )
+
+
+class _state_partitions:
+    """Pin spark.sql.shuffle.partitions for a streaming query's lifetime.
+
+    A stateful stream materializes one state-store instance per shuffle
+    partition in EVERY micro-batch; with the session's batch-tuned
+    count (32-128) and a handful of keys, per-batch state-store
+    open/commit dominates wall time ~10×. The conf is read at query
+    START, so pinning it around .start()/awaitTermination() sizes the
+    state store to the key count without touching later batch plans.
+    (A production job sizes this to its key cardinality once — the
+    partition count is baked into the checkpoint.)"""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
 def stream_stateful_stats(
@@ -91,14 +117,15 @@ def stream_stateful_stats(
             GroupStateTimeout.NoTimeout,
         )
     )
-    q = (
-        snapshots.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            snapshots.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     all_snaps = spark.table(query_name)
     w = F.row_number().over(
         Window.partitionBy("conv_id", "metric").orderBy(F.desc("upd"))
@@ -108,6 +135,151 @@ def stream_stateful_stats(
         .where(F.col("_rn") == 1)
         .select("conv_id", "metric", "cnt", "vsum", "vmin", "vmax",
                 "sum_sq", (F.col("vsum") / F.col("cnt")).alias("mean"))
+    )
+
+
+def stream_mpx_incremental(
+    spark: SparkSession,
+    src_path: str,
+    w: int = 16,
+    minlag: int = 4,
+    query_name: str = "stream_mpx_incremental",
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """STAMPI-style incremental matrix profile as a STATEFUL stream.
+
+    The reference computes profiles in one batch pass (cympx.pyx:30-119);
+    the published incremental variant (STAMPI, Yeh et al., "Matrix
+    Profile I", ICDM 2016 §V) extends a profile point-by-point: each new
+    subsequence's distance profile against the history both assigns the
+    new index its nearest neighbor and can only *improve* old indices'
+    matches (old windows never change under append), so the merge is
+    exact, not approximate. Here the unit of growth is a micro-batch:
+    per-series state carries (pending out-of-order points, contiguous
+    prefix, correlation-max profile) across batches via
+    applyInPandasWithState. Points may arrive in ANY file/batch order —
+    the profile only advances over the contiguous idx prefix, so the
+    final state is invariant to arrival order and must equal the batch
+    MPX / brute-force oracle exactly.
+
+    Numeric contract matches the engine's mpx and its DuckDB oracle:
+    pairs require abs(i-j) > minlag; c = (qt - w·mu_i·mu_j)/(w·s_i·s_j)
+    with population std, either-flat-window → c = 0; dist =
+    sqrt(2w(1-min(c,1))).
+
+    Cost: each arriving point is one O(n·w) convolve against the prefix
+    — O(n²·w) per series overall, the same work as one batch self-join,
+    paid incrementally. State is O(n) per series; at scale the sink
+    would be an upsert store keyed by (conv_id, idx) instead of the
+    in-memory snapshot table used for validation here.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "conv_id string, idx long, dist double, upd int"
+    state_schema = (
+        "pend_idx array<long>, pend_val array<double>, "
+        "vals array<double>, cmax array<double>, upd int"
+    )
+    NEG = -2.0  # below any correlation; "no partner yet" sentinel
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            pend_idx, pend_val, vals, cmax, upd = state.get
+            pend = dict(zip(pend_idx, pend_val))
+            vals = list(vals)
+            cmax = list(cmax)
+        else:
+            pend, vals, cmax, upd = {}, [], [], 0
+        for pdf in pdfs:
+            for i, v in zip(pdf["idx"].to_numpy(),
+                            pdf["value"].to_numpy(dtype="d")):
+                i = int(i)
+                if i >= len(vals) and i not in pend:
+                    pend[i] = float(v)
+        # advance the contiguous prefix
+        grew = False
+        while len(vals) in pend:
+            vals.append(pend.pop(len(vals)))
+            grew = True
+        n = len(vals)
+        m = max(0, n - w + 1)
+        if grew and m > 0:
+            a = np.asarray(vals, dtype="d")
+            csum = np.concatenate(([0.0], np.cumsum(a)))
+            csq = np.concatenate(([0.0], np.cumsum(a * a)))
+            mu = (csum[w:] - csum[:-w]) / w
+            var = (csq[w:] - csq[:-w]) / w - mu * mu
+            s = np.sqrt(np.maximum(var, 0.0))
+            prof = np.asarray(cmax, dtype="d")
+            prof = np.concatenate(
+                (prof, np.full(m - len(prof), NEG)))
+            for j in range(len(cmax), m):
+                lim = j - minlag  # partners i < lim (abs(i-j) > minlag)
+                if lim <= 0:
+                    continue
+                wj = a[j:j + w]
+                qt = np.convolve(a[:lim + w - 1], wj[::-1], "valid")
+                c = np.zeros(lim)
+                ok = (s[:lim] > 0) & (s[j] > 0)
+                if ok.any():
+                    c[ok] = (qt[ok] - w * mu[j] * mu[:lim][ok]) / (
+                        w * s[j] * s[:lim][ok])
+                np.maximum(prof[:lim], c, out=prof[:lim])
+                prof[j] = max(prof[j], c.max())
+            cmax = prof.tolist()
+        upd += 1
+        pi = sorted(pend)
+        state.update((pi, [pend[i] for i in pi], vals, cmax, upd))
+        prof = np.asarray(cmax, dtype="d")
+        have = prof > NEG
+        idx = np.arange(len(prof), dtype="int64")[have]
+        if not len(idx):  # nothing discoverable yet this batch
+            return
+        yield pd.DataFrame({
+            "conv_id": np.full(len(idx), key[0], dtype=object),
+            "idx": idx,
+            "dist": np.sqrt(
+                2.0 * w * (1.0 - np.minimum(prof[have], 1.0))),
+            "upd": np.full(len(idx), upd, dtype="int64"),
+        })
+
+    src = (
+        spark.readStream
+        .schema("conv_id string, idx long, value double")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_path)
+    )
+    snapshots = (
+        src.groupBy("conv_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    with _state_partitions(spark, 8):
+        wq = (
+            snapshots.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+        )
+        # micro-batch wall time is dominated by per-batch state-store
+        # commits; fsync to tmpfs instead of disk when available
+        if os.path.isdir("/dev/shm"):
+            wq = wq.option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix=f"ckpt_{query_name}_",
+                                 dir="/dev/shm"))
+        q = wq.start()
+        q.awaitTermination()
+    all_snaps = spark.table(query_name)
+    wnd = Window.partitionBy("conv_id", "idx").orderBy(F.desc("upd"))
+    return (
+        all_snaps.withColumn("_rn", F.row_number().over(wnd))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "idx", "dist")
     )
 
 
@@ -149,22 +321,23 @@ def stream_rollup_1m(
             F.sum(v * v).alias("sum_sq"),
         )
     )
-    q = (
-        agg.select(
-            "conv_id",
-            "metric",
-            F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
-            "cnt",
-            "vsum",
-            "vmin",
-            "vmax",
-            "sum_sq",
+    with _state_partitions(spark, 16):
+        q = (
+            agg.select(
+                "conv_id",
+                "metric",
+                F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+                "cnt",
+                "vsum",
+                "vmin",
+                "vmax",
+                "sum_sq",
+            )
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.table(query_name)
