@@ -133,7 +133,9 @@ def materialize_cascade(
         out = out.repartition(files_per_tier)
     out.write.mode("overwrite").partitionBy("tier").parquet(path)
     spark = series.sparkSession
-    table = spark.read.parquet(path)
+    # explicit schema: an all-empty input writes zero part files and
+    # schema inference would throw; the schema is statically known here
+    table = spark.read.schema(out.schema).parquet(path)
     return {t: table.where(F.col("tier") == t).drop("tier")
             for t in ("1m", "1h", "1d")}
 
