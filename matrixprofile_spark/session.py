@@ -79,3 +79,32 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+# engine-semantics configs that must hold on ANY deployment (batch test
+# session or spark-submit cluster job); deployment-shape knobs (master,
+# memory, shuffle partitions) deliberately NOT included — those belong
+# to the submit command / cluster manager
+ENGINE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.useObjectHashAggregateExec": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+}
+
+
+def get_submit_spark(app: str = "matrixprofile_spark_job") -> SparkSession:
+    """Session for `spark-submit --py-files ...` jobs (north_rule's
+    deployment shape): master, deploy mode, executor sizing and shuffle
+    partitioning come from the submit command / cluster defaults; only
+    the engine-semantics configs are pinned here. On a cluster, pass
+    e.g. `--conf spark.sql.shuffle.partitions=<2-3x total cores>`."""
+    b = SparkSession.builder.appName(app)
+    for k, v in ENGINE_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
