@@ -2073,7 +2073,7 @@ SELECT conv_id, metric, ts_epoch, value FROM series
         "segment_stats": f"""
 WITH {_SERIES_CTE}
 SELECT conv_id, metric,
-       CAST(CEIL(count(*) / 4096.0) AS BIGINT) AS n_segments,
+       count(DISTINCT idx // 4096) AS n_segments,
        count(*) AS total_points
 FROM series GROUP BY 1, 2
 """.strip(),

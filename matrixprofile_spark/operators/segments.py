@@ -14,9 +14,12 @@ zlib-compressed, length-prefixed concatenation of (turn_idx, role,
 tool, text) in stable (conv_id, turn_idx) order — the per-turn text
 equality invariant (input_hint) is asserted after round-trip in tests.
 
-Scale: encoding is an applyInPandas per series — embarrassingly
-parallel; a production build would register the codecs as native
-Iceberg/Parquet encodings, this layer proves the semantics + layout.
+Scale: chunk ids live in the GROUP KEY (idx div chunk_points), so no
+aggregate group ever exceeds chunk_points rows — one 10⁹-point
+conversation parallelizes across chunks instead of becoming a single
+unbounded packed row; a production build would register the codecs as
+native Iceberg/Parquet encodings, this layer proves the semantics +
+layout.
 """
 
 from __future__ import annotations
@@ -58,16 +61,28 @@ TRANSCRIPT_SCHEMA = (
 def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
     """series rows → compressed segment rows, per (conv_id, metric).
 
-    The series is packed JVM-side first (array_sort(collect_list) per
-    group — an aggregate whose clustering is satisfied by the upstream
-    lag-window's hash(conv_id) partitioning, so no extra exchange) and
-    the codecs run via mapInPandas over the packed rows. A grouped
-    applyInPandas here would ship one Arrow batch per group — with
-    thousands of sub-chunk-size series the per-batch Python round-trip
-    dominates the actual codec work (measured ~2× on sf0.1)."""
+    The chunk id is part of the GROUP KEY (``idx div chunk_points``), so
+    the JVM-side pack (array_sort(collect_list) per group) never builds
+    a group larger than ``chunk_points`` rows — per-group memory is
+    bounded no matter how long one conversation's series grows (a
+    whole-series pack would make a single 10⁹-point series a single
+    aggregate row). For the dense 0-based ``idx`` the series operators
+    produce, the resulting chunks are identical to sequential splitting.
+    The aggregate's clustering is still satisfied by the upstream
+    lag-window's hash(conv_id) partitioning (conv_id ⊆ group key → no
+    extra exchange), and the codecs run via mapInPandas over the packed
+    rows — one row per chunk. A grouped applyInPandas here would ship
+    one Arrow batch per group — with thousands of sub-chunk-size series
+    the per-batch Python round-trip dominates the actual codec work
+    (measured ~2× on sf0.1)."""
 
     packed = (
-        series.groupBy("conv_id", "metric")
+        series.groupBy(
+            "conv_id",
+            "metric",
+            F.expr(f"cast(idx div {int(chunk_points)} as int)")
+            .alias("chunk_idx"),
+        )
         .agg(
             F.expr(
                 "array_sort(collect_list(struct(idx, ts_epoch, value)))"
@@ -76,6 +91,7 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
         .select(
             "conv_id",
             "metric",
+            "chunk_idx",
             F.expr("transform(pts, x -> x.ts_epoch)").alias("ts"),
             # NULL → NaN payload (decode restores NULL)
             F.expr(
@@ -93,20 +109,20 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
             if not len(pdf):
                 continue
             rows = []
-            for cid, met, ts_l, val_l in zip(
-                pdf["conv_id"], pdf["metric"], pdf["ts"], pdf["vals"]
+            for cid, met, ci, ts_l, val_l in zip(
+                pdf["conv_id"], pdf["metric"], pdf["chunk_idx"],
+                pdf["ts"], pdf["vals"]
             ):
                 ts = np.asarray(ts_l, dtype=np.int64)
                 vals = np.asarray(val_l, dtype=np.float64)
-                for ci, s in enumerate(range(0, len(ts), chunk_points)):
-                    e = min(s + chunk_points, len(ts))
-                    rows.append(
-                        (
-                            cid, met, ci, int(ts[s]), e - s, "dod", "gorilla",
-                            encode_timestamps_dod(ts[s:e]),
-                            encode_values_gorilla(vals[s:e]),
-                        )
+                rows.append(
+                    (
+                        cid, met, int(ci), int(ts[0]), len(ts),
+                        "dod", "gorilla",
+                        encode_timestamps_dod(ts),
+                        encode_values_gorilla(vals),
                     )
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return packed.mapInPandas(fn, SEGMENT_SCHEMA)
@@ -176,7 +192,13 @@ def encode_transcript_segments(
     from the lengths block, never from scanning. All per-turn work is
     pandas/NumPy columnar: string concat + utf-8 encode + lengths are
     vectorized, a chunk's bytes assemble with one tobytes() and one
-    join."""
+    join.
+
+    The chunk id is part of the GROUP KEY (``turn_idx div chunk_turns``)
+    so a single very long conversation never becomes one unbounded
+    Arrow group — each group is ≤``chunk_turns`` turns. turn_idx itself
+    travels inside the payload, so round-trip fidelity doesn't depend
+    on how turns land in chunks."""
 
     def fn(key, pdf):
         pdf = pdf.sort_values("turn_idx")
@@ -188,22 +210,24 @@ def encode_transcript_segments(
             + "\x1f" + pdf["text"]
         ).str.encode("utf-8")
         lens = recs.str.len().to_numpy(dtype=">u4")
-        rows = []
-        for ci, s in enumerate(range(0, len(pdf), chunk_turns)):
-            e = min(s + chunk_turns, len(pdf))
-            blob = lens[s:e].tobytes() + b"".join(recs.iloc[s:e])
-            rows.append(
+        blob = lens.tobytes() + b"".join(recs)
+        return pd.DataFrame(
+            [
                 {
                     "conv_id": key[0],
-                    "chunk_idx": ci,
-                    "n": e - s,
-                    "ts_bytes": encode_timestamps_dod(ts[s:e]),
+                    "chunk_idx": int(key[1]),
+                    "n": len(pdf),
+                    "ts_bytes": encode_timestamps_dod(ts),
                     "payload": zlib.compress(blob, 6),
                 }
-            )
-        return pd.DataFrame(rows)
+            ]
+        )
 
-    return transcripts.groupBy("conv_id").applyInPandas(fn, TEXT_SEGMENT_SCHEMA)
+    return transcripts.groupBy(
+        "conv_id",
+        F.expr(f"cast(turn_idx div {int(chunk_turns)} as int)")
+        .alias("chunk_idx"),
+    ).applyInPandas(fn, TEXT_SEGMENT_SCHEMA)
 
 
 def decode_transcript_segments(segments: DataFrame) -> DataFrame:
