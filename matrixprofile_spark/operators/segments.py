@@ -149,6 +149,14 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     seg = segments.withColumn(
         "idx0", (F.sum("n").over(w) - F.col("n")).cast("long")
     )
+    # AQE sizes the post-window partitions by COMPRESSED bytes while
+    # decode expands ~10×, so each task materializes ~10× its input
+    # (bounded: ~64 MB advisory × expansion ≈ sub-GB pandas frames, and
+    # partition COUNT still grows with data so parallelism is fine).
+    # A forced repartition here was measured slower at sf0.1 (+1.1 s:
+    # extra exchange + smaller Arrow batches amortize the vectorized
+    # decode worse) — callers with fatter codecs should cut
+    # spark.sql.adaptive.advisoryPartitionSizeInBytes instead.
 
     def fn(it):
         for pdf in it:
