@@ -47,6 +47,35 @@ def test_codec_adversarial_roundtrip():
         )
 
 
+def test_segment_chunk_key_bounds_groups_with_idx_holes(spark):
+    """Chunk ids come from the GROUP KEY (idx div chunk_points), so (a)
+    no encode group ever exceeds chunk_points rows — per-group memory is
+    bounded for arbitrarily long series — and (b) a series with holes in
+    idx (skipped turns) still round-trips its full (ts, value) sequence
+    in order."""
+    idx = np.setdiff1d(np.arange(40, dtype=np.int64),
+                       np.array([3, 17, 18, 31]))  # holes
+    pdf = pd.DataFrame({
+        "conv_id": "c0", "metric": "m", "idx": idx,
+        "ts_epoch": 1_600_000_000 + idx * 60,
+        "value": idx.astype(float),
+    })
+    ser = spark.createDataFrame(pdf)
+    seg = segments.encode_segments(ser, chunk_points=16)
+    rows = seg.orderBy("chunk_idx").collect()
+    # idx-div buckets: [0,16) has 15 rows, [16,32) has 13, [32,40) has 8
+    assert [(r["chunk_idx"], r["n"]) for r in rows] == [(0, 15), (1, 13), (2, 8)]
+    assert max(r["n"] for r in rows) <= 16
+    back = (
+        segments.decode_segments(seg)
+        .orderBy("ts_epoch").toPandas()
+    )
+    np.testing.assert_array_equal(back["ts_epoch"].values, pdf["ts_epoch"].values)
+    np.testing.assert_array_equal(
+        back["value"].to_numpy(dtype=float), pdf["value"].values
+    )
+
+
 def test_series_segment_roundtrip(spark, transcripts):
     ser = S.project_series(transcripts)
     seg = segments.encode_segments(ser, chunk_points=256)
