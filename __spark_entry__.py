@@ -759,10 +759,11 @@ def _q_stream_stateful_stats(spark, sf_dir):
 
 def _q_stream_mpx_incremental(spark, sf_dir):
     """STAMPI-style stateful streaming matrix profile: the chosen token
-    series arrive shuffled across 8 single-file micro-batches (out of
-    order by construction); per-series state grows the profile only
-    over the contiguous prefix, so the final snapshot must equal the
-    batch MPX brute-force oracle bit-for-bit at 2 decimals."""
+    series arrive shuffled across 8 files drained 2 per trigger (4
+    micro-batches, out of order by construction); per-series state grows
+    the profile only over the contiguous prefix, so the final snapshot
+    must equal the batch MPX brute-force oracle bit-for-bit at 2
+    decimals."""
     import tempfile
 
     from matrixprofile_spark.streaming.structured import (

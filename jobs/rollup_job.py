@@ -32,7 +32,13 @@ partitions to the executor count:
       --conf spark.sql.shuffle.partitions=8192 \
       --py-files dist/matrixprofile_spark.zip \
       jobs/rollup_job.py --mode incremental \
-      --input s3://.../transcripts --workdir s3://.../rollups
+      --input s3://.../transcripts --workdir /mnt/shared/rollups
+
+`--input` may be any Spark-readable URI (s3://, hdfs://, ...) — it only
+flows into spark.read. `--workdir` must be a path mounted on the DRIVER's
+local filesystem (NFS/EFS on a cluster): the manifest and metrics files
+are written with plain-`open` driver-side IO, not the Hadoop FileSystem
+API, so an object-store workdir would fail at startup.
 """
 
 from __future__ import annotations

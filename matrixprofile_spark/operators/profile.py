@@ -119,6 +119,19 @@ def _too_short(values: np.ndarray, w: int) -> bool:
     return len(values) < 2 * w
 
 
+_PROFILE_COLUMNS = [
+    "conv_id", "metric", "w", "mp", "pi", "lmp", "lpi",
+    "rmp", "rpi", "ez", "join", "sample_pct", "algorithm",
+]
+
+
+def _empty_profile_frame() -> pd.DataFrame:
+    """Zero-row frame matching PROFILE_SCHEMA, built without running any
+    kernel (a too-short series must be skipped, not computed-and-sliced —
+    the kernel itself would raise on n below its own minimum)."""
+    return pd.DataFrame(columns=_PROFILE_COLUMNS)
+
+
 def _kernel_parts(df: DataFrame, n_groups: int | None = None) -> int:
     """Task count for grouped-kernel stages: 8× cores, bounded by groups.
 
@@ -235,10 +248,7 @@ def skimp_profiles(
     def fn_sweep(key, pdf):  # windows=None: in-kernel doubling search
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
         if len(values) < 16:
-            return pd.DataFrame(
-                columns=["conv_id", "metric", "w", "mp", "pi", "lmp", "lpi",
-                         "rmp", "rpi", "ez", "join", "sample_pct", "algorithm"]
-            ).iloc[0:0]
+            return _empty_profile_frame()
         prof = W.compute(values, windows=None, threshold=threshold,
                          sample_pct=sample_pct, seed=seed)
         rows = []
@@ -271,7 +281,7 @@ def skimp_profiles_from_worklist(worklist: DataFrame,
         w = int(key[2])
         _guard_packed(values, key)
         if _too_short(values, w):
-            return _profile_row((key[0], key[1]), W.mpx_profile(values, 4)).iloc[0:0]
+            return _empty_profile_frame()
         out = _profile_row((key[0], key[1]), W.mpx_profile(values, w))
         out["algorithm"] = "skimp"
         return out

@@ -138,12 +138,13 @@ def decode_segments(segments: DataFrame) -> DataFrame:
     for 10k series). Each series' global point index is re-derived from
     a window prefix-sum over chunk sizes, which shuffles only the small
     segments table, never the points."""
-    # chunk_idx is the deterministic tiebreaker (chunks may share a
-    # start epoch when equal timestamps straddle a boundary) and the
-    # explicit ROWS frame keeps tied rows' cumulative sums distinct
+    # chunk_idx (idx div chunk_points at encode time) is the authoritative
+    # global order — ordering by chunk_start_epoch first would reassemble
+    # a series whose ts_epoch is not monotone in idx out of idx order;
+    # the explicit ROWS frame keeps tied rows' cumulative sums distinct
     w = (
         Window.partitionBy("conv_id", "metric")
-        .orderBy("chunk_start_epoch", "chunk_idx")
+        .orderBy("chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     seg = segments.withColumn(

@@ -21,6 +21,7 @@ is lost).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -145,6 +146,7 @@ def stream_mpx_incremental(
     minlag: int = 4,
     query_name: str = "stream_mpx_incremental",
     files_per_trigger: int = 1,
+    max_pending: int = 4096,
 ) -> DataFrame:
     """STAMPI-style incremental matrix profile as a STATEFUL stream.
 
@@ -169,9 +171,17 @@ def stream_mpx_incremental(
 
     Cost: each arriving point is one O(n·w) convolve against the prefix
     — O(n²·w) per series overall, the same work as one batch self-join,
-    paid incrementally. State is O(n) per series; at scale the sink
-    would be an upsert store keyed by (conv_id, idx) instead of the
-    in-memory snapshot table used for validation here.
+    paid incrementally. State is O(n) per series (the `vals` prefix is
+    algorithm-inherent: a growing matrix profile needs its history); the
+    out-of-order *pending* buffer, by contrast, is bounded: a point that
+    never arrives would otherwise stall the prefix and grow pending
+    forever, so once pending exceeds ``max_pending`` the hole is declared
+    lost and LOCF-filled (same policy as the engine's gapfill_locf) up to
+    the next pending index, and an audit row (idx = -1, dist = points
+    filled so far) is emitted for the series. The complete-drain oracle
+    never triggers the cap, so its exact-match contract is unchanged. At
+    scale the sink would be an upsert store keyed by (conv_id, idx)
+    instead of the in-memory snapshot table used for validation here.
     """
     import numpy as np
     import pandas as pd
@@ -180,18 +190,18 @@ def stream_mpx_incremental(
     out_schema = "conv_id string, idx long, dist double, upd int"
     state_schema = (
         "pend_idx array<long>, pend_val array<double>, "
-        "vals array<double>, cmax array<double>, upd int"
+        "vals array<double>, cmax array<double>, upd int, filled long"
     )
     NEG = -2.0  # below any correlation; "no partner yet" sentinel
 
     def fn(key, pdfs, state):
         if state.exists:
-            pend_idx, pend_val, vals, cmax, upd = state.get
+            pend_idx, pend_val, vals, cmax, upd, filled = state.get
             pend = dict(zip(pend_idx, pend_val))
             vals = list(vals)
             cmax = list(cmax)
         else:
-            pend, vals, cmax, upd = {}, [], [], 0
+            pend, vals, cmax, upd, filled = {}, [], [], 0, 0
         for pdf in pdfs:
             for i, v in zip(pdf["idx"].to_numpy(),
                             pdf["value"].to_numpy(dtype="d")):
@@ -203,6 +213,17 @@ def stream_mpx_incremental(
         while len(vals) in pend:
             vals.append(pend.pop(len(vals)))
             grew = True
+        # bounded-state guarantee: a hole the stream never fills must not
+        # stall the series while pending grows without limit — over the
+        # cap, LOCF-fill the gap to the next arrived index and drain
+        while len(pend) > max_pending:
+            nxt = min(pend)
+            fill_v = vals[-1] if vals else 0.0
+            filled += nxt - len(vals)
+            vals.extend([fill_v] * (nxt - len(vals)))
+            grew = True
+            while len(vals) in pend:
+                vals.append(pend.pop(len(vals)))
         n = len(vals)
         m = max(0, n - w + 1)
         if grew and m > 0:
@@ -231,17 +252,20 @@ def stream_mpx_incremental(
             cmax = prof.tolist()
         upd += 1
         pi = sorted(pend)
-        state.update((pi, [pend[i] for i in pi], vals, cmax, upd))
+        state.update((pi, [pend[i] for i in pi], vals, cmax, upd, filled))
         prof = np.asarray(cmax, dtype="d")
         have = prof > NEG
         idx = np.arange(len(prof), dtype="int64")[have]
+        dist = np.sqrt(2.0 * w * (1.0 - np.minimum(prof[have], 1.0)))
+        if filled:  # audit row: idx=-1 marks a gap-filled series
+            idx = np.concatenate(([-1], idx))
+            dist = np.concatenate(([float(filled)], dist))
         if not len(idx):  # nothing discoverable yet this batch
             return
         yield pd.DataFrame({
             "conv_id": np.full(len(idx), key[0], dtype=object),
             "idx": idx,
-            "dist": np.sqrt(
-                2.0 * w * (1.0 - np.minimum(prof[have], 1.0))),
+            "dist": dist,
             "upd": np.full(len(idx), upd, dtype="int64"),
         })
 
@@ -258,27 +282,36 @@ def stream_mpx_incremental(
             GroupStateTimeout.NoTimeout,
         )
     )
-    with _state_partitions(spark, 8):
-        wq = (
-            snapshots.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-        )
-        # micro-batch wall time is dominated by per-batch state-store
-        # commits; fsync to tmpfs instead of disk when available
-        if os.path.isdir("/dev/shm"):
-            wq = wq.option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix=f"ckpt_{query_name}_",
-                                 dir="/dev/shm"))
-        q = wq.start()
-        q.awaitTermination()
+    ckpt = None
+    try:
+        with _state_partitions(spark, 8):
+            wq = (
+                snapshots.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+            )
+            # micro-batch wall time is dominated by per-batch state-store
+            # commits; fsync to tmpfs instead of disk when available
+            if os.path.isdir("/dev/shm"):
+                ckpt = tempfile.mkdtemp(prefix=f"ckpt_{query_name}_",
+                                        dir="/dev/shm")
+                wq = wq.option("checkpointLocation", ckpt)
+            q = wq.start()
+            q.awaitTermination()
+    finally:
+        # /dev/shm is RAM — leaking a checkpoint per run leaks tmpfs;
+        # the availableNow drain is complete once awaitTermination returns
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     all_snaps = spark.table(query_name)
     wnd = Window.partitionBy("conv_id", "idx").orderBy(F.desc("upd"))
+    # idx = -1 rows are gap-fill audits (see docstring), surfaced via
+    # spark.table(query_name), not mixed into the profile result
     return (
         all_snaps.withColumn("_rn", F.row_number().over(wnd))
         .where(F.col("_rn") == 1)
+        .where(F.col("idx") >= 0)
         .select("conv_id", "idx", "dist")
     )
 

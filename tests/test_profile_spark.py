@@ -94,6 +94,19 @@ def test_skimp_profiles_window_sweep(two_series, sampledata):
     )
 
 
+def test_worklist_short_series_returns_empty(spark):
+    """A worklist row whose series is too short for its window must be
+    skipped (zero rows), not crash inside a w=4 kernel it was never
+    going to keep (the pre-fix guard computed-then-sliced)."""
+    wl = spark.createDataFrame(
+        [("tiny", "value", [1.0, 2.0, 3.0, 4.0, 5.0], 16),
+         ("ok", "value", [float(x % 7) for x in range(64)], 16)],
+        "conv_id string, metric string, values array<double>, w int",
+    )
+    rows = P.skimp_profiles_from_worklist(wl).collect()
+    assert [r["conv_id"] for r in rows] == ["ok"]
+
+
 def test_discoveries_match_kernel(golden_series, sampledata):
     prof_df = P.mpx_profiles(golden_series, 32)
     disc = P.with_discoveries(prof_df, golden_series).collect()[0]

@@ -71,3 +71,42 @@ def test_state_advances_across_batches(streamed):
     # 6 shuffled single-file batches -> every series took several
     # updates to drain; a single-batch run would make this vacuous
     assert all(r[1] >= 3 for r in per_key)
+
+
+def test_dropped_point_is_bounded_not_stalled(spark, tmp_path):
+    """A point that never arrives must neither stall the series nor grow
+    the pending buffer past max_pending: once pending exceeds the cap the
+    hole is LOCF-filled, the profile advances to full length, and an
+    audit row (idx=-1, dist=fill count) lands in the snapshot table."""
+    from matrixprofile_spark.streaming.structured import (
+        stream_mpx_incremental,
+    )
+
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.randn(80).cumsum(), 3)
+    hole = 25
+    rows = [("a", int(i), float(v)) for i, v in enumerate(vals)
+            if i != hole]
+    src = str(tmp_path / "src")
+    # single file → single batch: the cap is a volume heuristic ("more
+    # than max_pending points newer than the hole arrived"), and a
+    # shuffled multi-batch drain would trip it on transient
+    # arrival-order gaps, making the fill site nondeterministic
+    (spark.createDataFrame(rows, "conv_id string, idx long, value double")
+     .repartition(1).write.mode("overwrite").parquet(src))
+    out = stream_mpx_incremental(spark, src, w=16, minlag=4,
+                                 query_name="stampi_drop",
+                                 max_pending=8).toPandas()
+    # prefix stalls at the hole until pending > 8, so the fill value is
+    # the last appended point: vals[hole-1]
+    filled = vals.copy()
+    filled[hole] = vals[hole - 1]
+    want = _brute_profile(filled, 16, 4)
+    sub = out[out.conv_id == "a"].sort_values("idx")
+    assert sub.idx.tolist() == list(range(len(want))), "series stalled"
+    np.testing.assert_allclose(sub.dist.to_numpy(), want, rtol=0,
+                               atol=1e-8)
+    audits = (spark.table("stampi_drop")
+              .where("idx = -1").toPandas())
+    assert len(audits) >= 1
+    assert audits.dist.iloc[-1] == 1.0  # exactly one point gap-filled
