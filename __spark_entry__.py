@@ -836,14 +836,15 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     from matrixprofile_spark.operators import dedup as DD
 
     corpus = _doc_corpus(spark, sf_dir)
-    # signatures read the NON-distinct shingle stream (min is duplicate-
-    # insensitive → pure map-side partial-min before its exchange);
-    # exact-Jaccard needs the distinct shingle sets
+    # both consumers read the NON-distinct shingle stream: min is
+    # duplicate-insensitive (signatures) and collect_set dedupes
+    # (jaccard sets), so each groupBy's map-side partial collapses
+    # before its exchange and no distinct() shuffle is paid anywhere
     sigs = DD.minhash_signatures(
         DD.shingles(corpus, n=3, distinct=False), num_hashes=8
     )
     pairs = DD.lsh_candidate_pairs(sigs, bands=4)
-    sh = DD.shingles(corpus, n=3)
+    sh = DD.shingles(corpus, n=3, distinct=False)
     return DD.jaccard_pairs(sh, pairs).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
     )

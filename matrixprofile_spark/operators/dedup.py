@@ -166,21 +166,29 @@ def hot_lsh_buckets(
 
 
 def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-Jaccard for the candidate pairs."""
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    ia = sh.select(F.col("id").alias("id_a"), "shingle")
-    ib = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(ia, "id_a").join(ib, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    """Exact shingle-Jaccard for the candidate pairs.
+
+    One aggregate packs each doc's distinct shingles into a set array
+    (collect_set dedupes, so feeding the NON-distinct shingle stream is
+    correct and skips the upstream distinct()'s full shuffle); the
+    candidate pairs then equi-join that compact per-doc table twice on
+    id, and |A∩B| is a codegen array_intersect over two in-row arrays.
+    The previous shape joined the exploded shingle stream twice —
+    shipping |pairs| × |shingles(doc)| rows through an exchange keyed
+    on (id, shingle) — and needed a separate sizes aggregate besides.
+    Zero-intersection candidates cannot exist (equal band hash ⇒ equal
+    min-md5 ⇒ the minimizing shingle is shared), so emitting
+    jaccard = 0 rows for them is a non-difference."""
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
+    n_int = F.size(F.array_intersect("set_a", "set_b"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+            (n_int / (F.size("set_a") + F.size("set_b") - n_int)).alias("jaccard"),
         )
     )
 

@@ -1,12 +1,16 @@
 """Chunked compressed segment structs (engine-new, per north_rule).
 
 series(conv_id, metric, idx, ts_epoch, value)  ⇄  segments(conv_id,
-metric, chunk_start_epoch, n, ts_codec, val_codec, ts_bytes, val_bytes)
+metric, chunk_idx, chunk_start_epoch, n, ts_codec, val_codec,
+idx_bytes, ts_bytes, val_bytes)
 
 Each ≤`chunk_points` run of a series becomes one row: delta-of-delta
-compressed epochs + Gorilla-XOR compressed float64 values inside
-BinaryType columns (SURVEY.md §1.2). decode(encode(x)) == x bit-exactly
-(tests); NULL values travel as NaN payloads and come back as NULLs.
+compressed point indices and epochs + Gorilla-XOR compressed float64
+values inside BinaryType columns (SURVEY.md §1.2). decode(encode(x)) ==
+x bit-exactly including idx (tests); NULL values travel as NaN payloads
+and come back as NULLs. Carrying idx costs ~2 bits/point (dense idx is
+constant-delta) and buys chunk-independent decode: no cross-chunk
+prefix-sum, no exchange anywhere in the decode plan.
 
 Transcript text segments: the raw transcript rows themselves chunk into
 (conv_id, chunk_idx, n, ts_bytes, payload) where payload is a
@@ -28,7 +32,7 @@ import zlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matrixprofile_spark.kernels.compression import (
@@ -40,8 +44,8 @@ from matrixprofile_spark.kernels.compression import (
 
 SEGMENT_SCHEMA = (
     "conv_id string, metric string, chunk_idx int, chunk_start_epoch long, "
-    "n long, ts_codec string, val_codec string, ts_bytes binary, "
-    "val_bytes binary"
+    "n long, ts_codec string, val_codec string, idx_bytes binary, "
+    "ts_bytes binary, val_bytes binary"
 )
 
 SERIES_SCHEMA = (
@@ -92,6 +96,12 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
             "conv_id",
             "metric",
             "chunk_idx",
+            # the point indices travel as their own dod stream: dense
+            # 0-based idx is constant-delta and packs to ~2 bits/point,
+            # and carrying it makes decode a pure per-chunk map (no
+            # cross-chunk prefix-sum) with original-idx fidelity even
+            # when the series has index holes
+            F.expr("transform(pts, x -> x.idx)").alias("idxs"),
             F.expr("transform(pts, x -> x.ts_epoch)").alias("ts"),
             # NULL → NaN payload (decode restores NULL)
             F.expr(
@@ -103,22 +113,24 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
     def fn(it):
         cols = [
             "conv_id", "metric", "chunk_idx", "chunk_start_epoch", "n",
-            "ts_codec", "val_codec", "ts_bytes", "val_bytes",
+            "ts_codec", "val_codec", "idx_bytes", "ts_bytes", "val_bytes",
         ]
         for pdf in it:
             if not len(pdf):
                 continue
             rows = []
-            for cid, met, ci, ts_l, val_l in zip(
+            for cid, met, ci, idx_l, ts_l, val_l in zip(
                 pdf["conv_id"], pdf["metric"], pdf["chunk_idx"],
-                pdf["ts"], pdf["vals"]
+                pdf["idxs"], pdf["ts"], pdf["vals"]
             ):
+                idxs = np.asarray(idx_l, dtype=np.int64)
                 ts = np.asarray(ts_l, dtype=np.int64)
                 vals = np.asarray(val_l, dtype=np.float64)
                 rows.append(
                     (
                         cid, met, int(ci), int(ts[0]), len(ts),
                         "dod", "gorilla",
+                        encode_timestamps_dod(idxs),
                         encode_timestamps_dod(ts),
                         encode_values_gorilla(vals),
                     )
@@ -131,61 +143,43 @@ def encode_segments(series: DataFrame, chunk_points: int = 4096) -> DataFrame:
 def decode_segments(segments: DataFrame) -> DataFrame:
     """segment rows → series rows.
 
-    Chunks decode independently, so this is mapInPandas over segment
-    rows (one output frame per Arrow batch) — NOT a groupBy: a per-group
-    decode would build one tiny DataFrame per series and the constant
-    pandas/Arrow overhead would dominate (measured 13 s → ~2 s at sf0.1
-    for 10k series). Each series' global point index is re-derived from
-    a window prefix-sum over chunk sizes, which shuffles only the small
-    segments table, never the points."""
-    # chunk_idx (idx div chunk_points at encode time) is the authoritative
-    # global order — ordering by chunk_start_epoch first would reassemble
-    # a series whose ts_epoch is not monotone in idx out of idx order;
-    # the explicit ROWS frame keeps tied rows' cumulative sums distinct
-    w = (
-        Window.partitionBy("conv_id", "metric")
-        .orderBy("chunk_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    seg = segments.withColumn(
-        "idx0", (F.sum("n").over(w) - F.col("n")).cast("long")
-    )
-    # AQE sizes the post-window partitions by COMPRESSED bytes while
-    # decode expands ~10×, so each task materializes ~10× its input
-    # (bounded: ~64 MB advisory × expansion ≈ sub-GB pandas frames, and
-    # partition COUNT still grows with data so parallelism is fine).
-    # A forced repartition here was measured slower at sf0.1 (+1.1 s:
-    # extra exchange + smaller Arrow batches amortize the vectorized
-    # decode worse) — callers with fatter codecs should cut
-    # spark.sql.adaptive.advisoryPartitionSizeInBytes instead.
+    Chunks decode fully independently — the point indices travel inside
+    each chunk as their own dod stream — so this is a pure mapInPandas
+    over segment rows with ZERO exchange: scan → decode, one stage. (An
+    earlier build re-derived idx via a cross-chunk window prefix-sum,
+    which shuffled the full binary payload and let AQE size the decode
+    stage by COMPRESSED bytes — ~10× under-parallelized after the ~10×
+    expansion.) mapInPandas, not a groupBy: a per-group decode would
+    build one tiny DataFrame per series and the constant pandas/Arrow
+    overhead would dominate (measured 13 s → ~2 s at sf0.1 for 10k
+    series)."""
 
     def fn(it):
         for pdf in it:
             if not len(pdf):
                 continue
-            ts_parts, val_parts, n_parts = [], [], []
-            for b_ts, b_val in zip(pdf["ts_bytes"], pdf["val_bytes"]):
+            idx_parts, ts_parts, val_parts, n_parts = [], [], [], []
+            for b_idx, b_ts, b_val in zip(
+                pdf["idx_bytes"], pdf["ts_bytes"], pdf["val_bytes"]
+            ):
+                idx_parts.append(decode_timestamps_dod(bytes(b_idx)))
                 ts_parts.append(decode_timestamps_dod(bytes(b_ts)))
                 val_parts.append(decode_values_gorilla(bytes(b_val)))
                 n_parts.append(len(ts_parts[-1]))
             n_arr = np.asarray(n_parts, dtype=np.int64)
             ts = np.concatenate(ts_parts)
             vals = np.concatenate(val_parts)
-            # idx = chunk base + position within chunk, vectorized
-            base = np.repeat(pdf["idx0"].to_numpy(dtype=np.int64), n_arr)
-            starts = np.repeat(np.cumsum(n_arr) - n_arr, n_arr)
-            pos = np.arange(len(ts), dtype=np.int64) - starts
             out = pd.DataFrame({
                 "conv_id": np.repeat(pdf["conv_id"].to_numpy(), n_arr),
                 "metric": np.repeat(pdf["metric"].to_numpy(), n_arr),
-                "idx": base + pos,
+                "idx": np.concatenate(idx_parts),
                 "ts_epoch": ts,
                 # NaN payloads back to SQL NULL via a masked float array
                 "value": pd.arrays.FloatingArray(vals, np.isnan(vals)),
             })
             yield out
 
-    return seg.mapInPandas(fn, SERIES_SCHEMA)
+    return segments.mapInPandas(fn, SERIES_SCHEMA)
 
 
 def encode_transcript_segments(
