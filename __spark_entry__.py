@@ -282,33 +282,48 @@ def _q_motifs(spark, sf_dir):
     )
 
 
-def _q_tier_discords_1m(spark, sf_dir):
-    """north_star alignment: discords surfaced per ROLLUP TIER — the MPX
-    kernel runs over the 1m tier's mean series (vsum/cnt per bucket,
-    gaps collapsed to a contiguous index), not over raw turns. The
-    oracle rebuilds the identical tier series in SQL and brute-forces
-    the w=8 profile + 3-round suppression argmax."""
+def _chosen_tier_series(spark, sf_dir, bucket_s: int, label: str,
+                        n_lo: int, n_hi: int = 400):
+    """Packed mean series of the `bucket_s`-second rollup tier
+    (vsum/cnt per bucket, gaps collapsed to a contiguous index) for up
+    to 5 chosen conversations whose tier length is in [n_lo, n_hi] —
+    the shared base of the per-tier discovery queries. Coarser tiers
+    use a lower n_lo: only the hottest conversations span enough 1h
+    buckets to profile."""
     ser = _series(spark, sf_dir).where(F.col("metric") == "token_count")
-    r1m = rollup.rollup_from_raw(ser, 60)
+    tier = rollup.rollup_from_raw(ser, bucket_s)
     wnd = W.partitionBy("conv_id").orderBy("bucket_epoch")
-    tier_series = r1m.select(
-        "conv_id", F.lit("token_count_1m").alias("metric"),
+    tier_series = tier.select(
+        "conv_id", F.lit(label).alias("metric"),
         (F.row_number().over(wnd) - 1).cast("long").alias("idx"),
         (F.col("vsum") / F.col("cnt")).alias("value"),
     )
-    chosen = (
+    return (
         P.pack_series(tier_series)
-        .where((F.col("n") >= 64) & (F.col("n") <= 400))
+        .where((F.col("n") >= n_lo) & (F.col("n") <= n_hi))
         .orderBy("conv_id")
         .limit(5)
     )
-    prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
-    disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
-    return disc.select(
-        "conv_id", "metric",
-        F.posexplode("discords").alias("rank", "idx"),
-    ).select("conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
-             F.col("idx").cast("bigint").alias("idx"))
+
+
+def _q_tier_discords(bucket_s: int, label: str, n_lo: int):
+    """north_star alignment: discords surfaced per ROLLUP TIER — the MPX
+    kernel runs over the tier's mean series, not over raw turns. The
+    oracle rebuilds the identical tier series in SQL and brute-forces
+    the w=8 profile + 3-round suppression argmax."""
+
+    def q(spark, sf_dir):
+        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo)
+        prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
+        disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
+        return disc.select(
+            "conv_id", "metric",
+            F.posexplode("discords").alias("rank", "idx"),
+        ).select("conv_id", "metric",
+                 F.col("rank").cast("bigint").alias("rank"),
+                 F.col("idx").cast("bigint").alias("idx"))
+
+    return q
 
 
 def _q_tier_motifs_1m(spark, sf_dir):
@@ -316,20 +331,7 @@ def _q_tier_motifs_1m(spark, sf_dir):
     ROLLUP TIER — the same 1m-tier mean series as tier_discords_1m, run
     through the full motif-discovery chain at w=8. The oracle is the
     parameterized suppression-CTE motifs twin over the tier CTE."""
-    ser = _series(spark, sf_dir).where(F.col("metric") == "token_count")
-    r1m = rollup.rollup_from_raw(ser, 60)
-    wnd = W.partitionBy("conv_id").orderBy("bucket_epoch")
-    tier_series = r1m.select(
-        "conv_id", F.lit("token_count_1m").alias("metric"),
-        (F.row_number().over(wnd) - 1).cast("long").alias("idx"),
-        (F.col("vsum") / F.col("cnt")).alias("value"),
-    )
-    chosen = (
-        P.pack_series(tier_series)
-        .where((F.col("n") >= 64) & (F.col("n") <= 400))
-        .orderBy("conv_id")
-        .limit(5)
-    )
+    chosen = _chosen_tier_series(spark, sf_dir, 60, "token_count_1m", 64)
     prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
     disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
                               n_groups=5)
@@ -1085,7 +1087,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_view": _q_retention_view,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
-        "tier_discords_1m": _q_tier_discords_1m,
+        "tier_discords_1m": _q_tier_discords(60, "token_count_1m", 64),
+        "tier_discords_1h": _q_tier_discords(3600, "token_count_1h", 24),
         "tier_motifs_1m": _q_tier_motifs_1m,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
@@ -1233,6 +1236,79 @@ chosent AS (
 ),
 r AS (SELECT t.conv_id, t.i, t.value FROM tsert t JOIN chosent USING (conv_id)),
 {_w_stats_sql(w, stats)}
+""".strip()
+
+
+def _tier_discords_oracle_sql(bucket_s: int, label: str, n_lo: int,
+                              n_hi: int = 400) -> str:
+    """DuckDB twin of the per-tier discords query: rebuild the
+    `bucket_s`-second rollup tier's mean series (gaps collapsed to a
+    contiguous index, 5 chosen conversations with tier length in
+    [n_lo, n_hi]), brute-force the w=8 profile via the per-diagonal
+    window-sum MPX block, then apply 3 suppression rounds with ez=2."""
+    return f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+rt AS (
+  SELECT conv_id,
+         CAST(FLOOR(ts_epoch / {float(bucket_s)}) * {bucket_s} AS BIGINT)
+           AS bucket_epoch,
+         sum(value) AS vsum, count(value) AS cnt
+  FROM tok GROUP BY 1, 2
+),
+tser AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_epoch)
+              - 1 AS BIGINT) AS i,
+         vsum / cnt AS value
+  FROM rt
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tser GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN {n_lo} AND {n_hi}
+  ORDER BY conv_id LIMIT 5
+),
+r AS (SELECT t.conv_id, t.i, t.value FROM tser t JOIN chosen USING (conv_id)),
+{_w_stats_sql(8, "st8t")},
+{_mpx_block_sql(8, "st8t", "t1")},
+mp AS MATERIALIZED (
+  SELECT conv_id, i AS idx, sqrt(2 * 8 * (1 - least(max(c), 1.0))) AS dist
+  FROM ct1 GROUP BY 1, 2
+),
+p1 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM mp
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT mp.* FROM mp JOIN p1 USING (conv_id)
+  WHERE NOT (mp.idx >= p1.idx - 2 AND mp.idx < p1.idx + 2)
+),
+p2 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m2
+  ) WHERE rn = 1
+),
+m3 AS (
+  SELECT m2.* FROM m2 JOIN p2 USING (conv_id)
+  WHERE NOT (m2.idx >= p2.idx - 2 AND m2.idx < p2.idx + 2)
+),
+p3 AS (
+  SELECT conv_id, idx FROM (
+    SELECT conv_id, idx, row_number() OVER
+      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m3
+  ) WHERE rn = 1
+)
+SELECT conv_id, '{label}' AS metric, CAST(0 AS BIGINT) AS rank, idx FROM p1
+UNION ALL
+SELECT conv_id, '{label}' AS metric, CAST(1 AS BIGINT) AS rank, idx FROM p2
+UNION ALL
+SELECT conv_id, '{label}' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
 """.strip()
 
 
@@ -2671,68 +2747,10 @@ SELECT conv_id, 'token_count' AS metric, CAST(1 AS BIGINT) AS rank, idx FROM p2
 UNION ALL
 SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
 """.strip(),
-        "tier_discords_1m": f"""
-WITH transcripts AS ({_T}),
-tok AS (
-  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
-r1m AS (
-  SELECT conv_id, CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
-         sum(value) AS vsum, count(value) AS cnt
-  FROM tok GROUP BY 1, 2
-),
-tser AS (
-  SELECT conv_id,
-         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_epoch)
-              - 1 AS BIGINT) AS i,
-         vsum / cnt AS value
-  FROM r1m
-),
-sizes AS (SELECT conv_id, count(*) AS n FROM tser GROUP BY 1),
-chosen AS (
-  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
-  ORDER BY conv_id LIMIT 5
-),
-r AS (SELECT t.conv_id, t.i, t.value FROM tser t JOIN chosen USING (conv_id)),
-{_w_stats_sql(8, "st8t")},
-{_mpx_block_sql(8, "st8t", "t1")},
-mp AS MATERIALIZED (
-  SELECT conv_id, i AS idx, sqrt(2 * 8 * (1 - least(max(c), 1.0))) AS dist
-  FROM ct1 GROUP BY 1, 2
-),
-p1 AS (
-  SELECT conv_id, idx FROM (
-    SELECT conv_id, idx, row_number() OVER
-      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM mp
-  ) WHERE rn = 1
-),
-m2 AS (
-  SELECT mp.* FROM mp JOIN p1 USING (conv_id)
-  WHERE NOT (mp.idx >= p1.idx - 2 AND mp.idx < p1.idx + 2)
-),
-p2 AS (
-  SELECT conv_id, idx FROM (
-    SELECT conv_id, idx, row_number() OVER
-      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m2
-  ) WHERE rn = 1
-),
-m3 AS (
-  SELECT m2.* FROM m2 JOIN p2 USING (conv_id)
-  WHERE NOT (m2.idx >= p2.idx - 2 AND m2.idx < p2.idx + 2)
-),
-p3 AS (
-  SELECT conv_id, idx FROM (
-    SELECT conv_id, idx, row_number() OVER
-      (PARTITION BY conv_id ORDER BY dist DESC, idx DESC) AS rn FROM m3
-  ) WHERE rn = 1
-)
-SELECT conv_id, 'token_count_1m' AS metric, CAST(0 AS BIGINT) AS rank, idx FROM p1
-UNION ALL
-SELECT conv_id, 'token_count_1m' AS metric, CAST(1 AS BIGINT) AS rank, idx FROM p2
-UNION ALL
-SELECT conv_id, 'token_count_1m' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
-""".strip(),
+        "tier_discords_1m": _tier_discords_oracle_sql(
+            60, "token_count_1m", 64),
+        "tier_discords_1h": _tier_discords_oracle_sql(
+            3600, "token_count_1h", 24),
         "regimes": f"""
 WITH {_CHOSEN_CTE},
 prrg AS (
