@@ -359,6 +359,25 @@ def _q_global_discords(spark, sf_dir):
     )
 
 
+def _q_global_motifs(spark, sf_dir):
+    """Cross-conversation top-10 motif pairs — the motif twin of
+    global_discords_top10: per-series motif discoveries exploded, each
+    pair's distance recovered from the profile (greatest of the two
+    endpoint mp values = the kernel's pick distance), one global
+    TakeOrderedAndProject (deterministic ties: conv_id, first_idx)."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
+                              n_groups=5)
+    out = P.global_top_motifs(disc, prof, k=10, zero_eps=1e-4)
+    return out.select(
+        "conv_id", "metric",
+        F.col("first_idx").cast("bigint").alias("first_idx"),
+        F.col("second_idx").cast("bigint").alias("second_idx"),
+        F.round("distance", 2).alias("dist_r2"),
+    )
+
+
 def _q_regimes(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
@@ -1121,6 +1140,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mstomp_w16": _q_mstomp_w16,
         "discords_top3": _q_discords,
         "global_discords_top10": _q_global_discords,
+        "global_motifs_top10": _q_global_motifs,
         "motifs_top3": _q_motifs,
         "regimes": _q_regimes,
         "snippets": _q_snippets,
@@ -1396,7 +1416,7 @@ def _motifs_oracle_sql(k: int = 3, max_neighbors: int = 10,
                        radius: int = 3, *, base_cte: str | None = None,
                        w: int | None = None, minlag: int | None = None,
                        ez: int | None = None, metric: str = "token_count",
-                       stats: str = "sub") -> str:
+                       stats: str = "sub", include_dist: bool = False) -> str:
     """DuckDB twin of top_k_motifs (reference top_k_motifs.py:174-314)
     as a generated chain of suppression CTEs.
 
@@ -1539,10 +1559,11 @@ cm{rnd} AS MATERIALIZED (
   UNION ALL SELECT conv_id, s AS c FROM fs{rnd}
   UNION ALL SELECT conv_id, c FROM ncs{rnd}_{max_neighbors}
 )""")
+    dist_col = ", md" if include_dist else ""
     finals = [
         f"""SELECT conv_id, '{metric}' AS metric,
        CAST({rnd - 1} AS BIGINT) AS rank,
-       CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx
+       CAST(f AS BIGINT) AS first_idx, CAST(s AS BIGINT) AS second_idx{dist_col}
 FROM fs{rnd}""" for rnd in range(1, k + 1)
     ]
     parts.append("\n" + "\nUNION ALL\n".join(finals))
@@ -3182,6 +3203,15 @@ WHERE bucket_epoch < now - {_KEEP_1H}
         base_cte=_tier1m_cte(8, "subt"), w=8, metric="token_count_1m",
         stats="subt")
     out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
+    # global motif twin: the per-conv suppression chain with each pick's
+    # distance surfaced, re-ranked globally (unrounded md orders, the
+    # published column rounds)
+    out["global_motifs_top10"] = f"""
+SELECT conv_id, metric, first_idx, second_idx, round(md, 2) AS dist_r2
+FROM ({_motifs_oracle_sql(include_dist=True)})
+ORDER BY md ASC, conv_id ASC, first_idx ASC
+LIMIT 10
+""".strip()
     # the resumed memo store must equal the from-scratch sweep
     out["skimp_memo_resume"] = out["skimp_pmp"]
     # CSV round-trip must reproduce the generator table bit-for-bit

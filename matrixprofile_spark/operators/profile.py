@@ -657,6 +657,41 @@ def pmp_motifs(
     )
 
 
+def global_top_motifs(discoveries: DataFrame, profiles: DataFrame,
+                      k: int = 10, zero_eps: float | None = None) -> DataFrame:
+    """Cross-conversation top-k motif pairs: explode per-series motif
+    pairs, look up each pair's distance, one global TakeOrderedAndProject
+    — the motif twin of global_top_discords (SURVEY.md §2.6).
+
+    The pair's distance is mp at whichever endpoint was the kernel's
+    argmin: the argmin side carries dist(first, second) by definition
+    and the other side's mp is ≤ it, so greatest(mp[f], mp[s]) recovers
+    it without knowing which endpoint won. ``zero_eps`` mirrors
+    with_discoveries' near-zero clamp so ordering matches the kernel's
+    motif ranking exactly."""
+    exploded = discoveries.select(
+        "conv_id", "metric", "w", F.explode("motif_pairs").alias("pair")
+    ).select(
+        "conv_id", "metric", "w",
+        F.element_at("pair", 1).alias("first_idx"),
+        F.element_at("pair", 2).alias("second_idx"),
+    )
+    with_mp = exploded.join(profiles.select("conv_id", "metric", "w", "mp"),
+                            ["conv_id", "metric", "w"])
+    d = F.greatest(
+        F.element_at(F.col("mp"), F.col("first_idx").cast("int") + 1),
+        F.element_at(F.col("mp"), F.col("second_idx").cast("int") + 1),
+    )
+    if zero_eps is not None:
+        d = F.when(d < zero_eps, F.lit(0.0)).otherwise(d)
+    return (
+        with_mp.select("conv_id", "metric", "w", "first_idx", "second_idx",
+                       d.alias("distance"))
+        .orderBy("distance", "conv_id", "first_idx")
+        .limit(k)
+    )
+
+
 def global_top_discords(discoveries: DataFrame, profiles: DataFrame, k: int = 10) -> DataFrame:
     """Cross-conversation top-k discords: explode per-series discords,
     look up their distances, TakeOrderedAndProject over the whole table
