@@ -32,51 +32,53 @@ def snippets(
     if window_size >= snippet_size:
         raise ValueError("window_size must be smaller than snippet_size")
 
-    num_zeros = int(snippet_size * np.ceil(n / snippet_size) - n)
-    ts = np.concatenate((ts, np.zeros(num_zeros)))
+    pad_len = int(snippet_size * np.ceil(n / snippet_size) - n)
+    ts = np.concatenate((ts, np.zeros(pad_len)))
 
-    indices = np.arange(0, len(ts) - snippet_size, snippet_size)
-    distances = np.array(
+    starts = np.arange(0, len(ts) - snippet_size, snippet_size)
+    # one MPDist curve per candidate: curves[c, j] = MPDist between
+    # candidate c's snippet and the window starting at position j
+    curves = np.array(
         [
             mpdist_vector(ts, ts[i : i + snippet_size - 1], int(window_size))
-            for i in indices
+            for i in starts
         ]
     )
 
     out = []
-    minis = np.inf
-    total_min = None
+    coverage = np.full(curves.shape[1], np.inf)
+    overall_min = None
     for _ in range(num_snippets):
-        minims = np.inf
-        index = -1
-        for i in range(len(indices)):
-            s = np.sum(np.minimum(distances[i, :], minis))
-            if minims > s:
-                minims = s
-                index = i
-        minis = np.minimum(distances[index, :], minis)
-        actual_index = int(indices[index])
+        # greedy min-coverage: pick the candidate whose curve lowers the
+        # running per-position coverage the most (first index on ties —
+        # argmin order, matching the reference's strict-improvement scan)
+        best = int(np.argmin(np.minimum(curves, coverage).sum(axis=1)))
+        coverage = np.minimum(curves[best], coverage)
+        start = int(starts[best])
         out.append(
             {
-                "index": actual_index,
-                "snippet": ts[actual_index : actual_index + snippet_size],
-                "distance": distances[index],
+                "index": start,
+                "snippet": ts[start : start + snippet_size],
+                "distance": curves[best],
             }
         )
-        total_min = (
+        overall_min = (
             out[-1]["distance"]
-            if total_min is None
-            else np.minimum(total_min, out[-1]["distance"])
+            if overall_min is None
+            else np.minimum(overall_min, out[-1]["distance"])
         )
 
     for snip in out:
-        mask = snip["distance"] <= total_min
-        arr = np.arange(len(mask))
+        mask = snip["distance"] <= overall_min
+        positions = np.arange(len(mask))
         max_index = time_series_len - snippet_size
-        snip["neighbors"] = [int(x) for x in arr[mask] if x <= max_index]
+        snip["neighbors"] = [int(x) for x in positions[mask] if x <= max_index]
         if max_index in snip["neighbors"]:
             snip["neighbors"].extend(range(max_index + 1, time_series_len))
         snip["fraction"] = mask.sum() / (len(ts) - snippet_size)
-        total_min = total_min - mask
+        # subtracting the bool mask lowers already-claimed positions so a
+        # later snippet cannot re-claim them (reference fraction
+        # bookkeeping, snippets.py:108-124)
+        overall_min = overall_min - mask
         del snip["distance"]
     return out

@@ -296,6 +296,22 @@ def test_snippets_goldens(sampledata):
     assert (sum(r[0]["neighbors"]), sum(r[1]["neighbors"])) == (149499, 232876)
 
 
+def test_snippet_distance_curve_golden(sampledata):
+    """Curve-level pin under the end-to-end 384/704 golden: the MPDist
+    vector of the winning snippet candidate (start 384, size 64, w=32)
+    over the padded series — localizes a snippets regression to either
+    the curve computation or the greedy selection."""
+    ss = 64
+    pad = int(ss * np.ceil(len(sampledata) / ss) - len(sampledata))
+    ts = np.concatenate((sampledata, np.zeros(pad)))
+    curve = mpdist_vector(ts, ts[384:384 + ss - 1], 32)
+    assert len(curve) == 834
+    np.testing.assert_almost_equal(curve.sum(), 2491.4969, decimal=4)
+    np.testing.assert_almost_equal(
+        curve[[0, 100, 384, 500, 833]],
+        [0.346189, 0.316717, 0.0, 5.025103, 4.222462], decimal=6)
+
+
 def test_snippets_errors(sampledata):
     with pytest.raises(ValueError):
         snippets(sampledata, 3)
