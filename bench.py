@@ -223,18 +223,26 @@ def probe_job(cores: int) -> dict:
         t_prim = time.time() - t0
 
         tier_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-        # one cascade run per JVM (the harness already keeps the best of
-        # two fresh-JVM probes); codegen is warm from the prim run.
-        # materialize_cascade: every tier lands in ONE action/commit
-        # (partitionBy tier, shared raw→1m stage reused) — the chained
-        # write→read→write loop paid a ~3 s core-count-invariant
-        # commit+reread constant PER TIER, the main drag on the cascade
-        # scaling number (r3 stage isolation; VERDICT r3 next #2)
-        tmp = tempfile.mkdtemp(prefix="bench_tiers_", dir=tier_base)
-        t0 = time.time()
-        rollup.materialize_cascade(ser, f"{tmp}/tiers", files_per_tier=cores)
-        t_cascade = time.time() - t0
-        shutil.rmtree(tmp, ignore_errors=True)
+        # 2 fixed in-JVM reps, keep min (same estimator as the mpx
+        # stage's 3 reps): host-noise epochs last about as long as one
+        # cascade run, so a single sample per JVM frequently never sees
+        # a clean slot at the higher core count — r4/r5 forensics show
+        # the lo minima land near the idle-window value while hi minima
+        # miss it by 30-50% with 1 sample per JVM. Codegen is warm from
+        # the prim run. materialize_cascade: every tier lands in ONE
+        # action/commit (partitionBy tier, shared raw→1m stage reused) —
+        # the chained write→read→write loop paid a ~3 s
+        # core-count-invariant commit+reread constant PER TIER, the main
+        # drag on the cascade scaling number (r3 stage isolation)
+        t_cascade = None
+        for _ in range(2):
+            tmp = tempfile.mkdtemp(prefix="bench_tiers_", dir=tier_base)
+            t0 = time.time()
+            rollup.materialize_cascade(ser, f"{tmp}/tiers",
+                                       files_per_tier=cores)
+            dt = time.time() - t0
+            t_cascade = dt if t_cascade is None else min(t_cascade, dt)
+            shutil.rmtree(tmp, ignore_errors=True)
 
         packed = pack_series(
             synth_long_series(spark, PROBE_SERIES, PROBE_LEN)
@@ -542,7 +550,12 @@ def write_bench_md(result: dict) -> None:
         "adaptive retry — with every raw sample published below. This "
         "replaces round 3's 2-hi-per-lo sampling with retry-until-"
         "≥0.82, both of which biased the min-of-samples estimator "
-        "optimistically (judge r3 finding #3).",
+        "optimistically (judge r3 finding #3). Within each probe JVM "
+        "the stages take a fixed rep count symmetrically at both core "
+        "counts (cascade ×2, mpx ×3, ALU ×2, min): noise epochs last "
+        "about as long as one cascade run, so single-sample-per-JVM "
+        "high-core-count runs systematically miss clean slots that the "
+        "low-core-count runs (4× longer) average over.",
         "",
         "Pre-declared gate (fixed before the run): raw efficiency ≥ 0.8, "
         "or ceiling-relative efficiency (raw ÷ same-window pure-ALU "
