@@ -326,23 +326,27 @@ def _q_tier_discords(bucket_s: int, label: str, n_lo: int):
     return q
 
 
-def _q_tier_motifs_1m(spark, sf_dir):
+def _q_tier_motifs(bucket_s: int, label: str, n_lo: int):
     """north_star alignment, motif half: top-3 motif pairs surfaced per
-    ROLLUP TIER — the same 1m-tier mean series as tier_discords_1m, run
+    ROLLUP TIER — the same tier mean series as _q_tier_discords, run
     through the full motif-discovery chain at w=8. The oracle is the
     parameterized suppression-CTE motifs twin over the tier CTE."""
-    chosen = _chosen_tier_series(spark, sf_dir, 60, "token_count_1m", 64)
-    prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
-    disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
-                              n_groups=5)
-    return disc.select(
-        "conv_id", "metric",
-        F.posexplode("motif_pairs").alias("rank", "pair"),
-    ).select(
-        "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
-        F.element_at("pair", 1).alias("first_idx"),
-        F.element_at("pair", 2).alias("second_idx"),
-    )
+
+    def q(spark, sf_dir):
+        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo)
+        prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
+        disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
+                                  n_groups=5)
+        return disc.select(
+            "conv_id", "metric",
+            F.posexplode("motif_pairs").alias("rank", "pair"),
+        ).select(
+            "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
+            F.element_at("pair", 1).alias("first_idx"),
+            F.element_at("pair", 2).alias("second_idx"),
+        )
+
+    return q
 
 
 def _q_global_discords(spark, sf_dir):
@@ -1108,7 +1112,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": _q_media_frame_sample,
         "tier_discords_1m": _q_tier_discords(60, "token_count_1m", 64),
         "tier_discords_1h": _q_tier_discords(3600, "token_count_1h", 24),
-        "tier_motifs_1m": _q_tier_motifs_1m,
+        "tier_motifs_1m": _q_tier_motifs(60, "token_count_1m", 64),
+        "tier_motifs_1h": _q_tier_motifs(3600, "token_count_1h", 24),
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1225,20 +1230,23 @@ sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
 """.strip()
 
 
-def _tier1m_cte(w: int, stats: str) -> str:
-    """The 1m-rollup-tier mean series (same construction as the
-    tier_discords_1m oracle: token_count per-bucket vsum/cnt, gaps
-    collapsed to a contiguous index, 5 chosen conversations) as a CTE
-    base for the parameterized motifs oracle — defines `r` plus the
-    `stats` window-stats CTE for width w."""
+def _tier_cte(w: int, stats: str, bucket_s: int = 60, n_lo: int = 64,
+              n_hi: int = 400) -> str:
+    """A rollup-tier mean series (same construction as the tier_discords
+    oracles: token_count per-bucket vsum/cnt, gaps collapsed to a
+    contiguous index, 5 chosen conversations with tier length in
+    [n_lo, n_hi]) as a CTE base for the parameterized motifs oracle —
+    defines `r` plus the `stats` window-stats CTE for width w."""
     return f"""
 transcripts AS ({_T}),
 tokt AS (
   SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
   FROM transcripts
 ),
-r1mt AS (
-  SELECT conv_id, CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+rtt AS (
+  SELECT conv_id,
+         CAST(FLOOR(ts_epoch / {float(bucket_s)}) * {bucket_s} AS BIGINT)
+           AS bucket_epoch,
          sum(value) AS vsum, count(value) AS cnt
   FROM tokt GROUP BY 1, 2
 ),
@@ -1247,11 +1255,11 @@ tsert AS (
          CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_epoch)
               - 1 AS BIGINT) AS i,
          vsum / cnt AS value
-  FROM r1mt
+  FROM rtt
 ),
 sizest AS (SELECT conv_id, count(*) AS n FROM tsert GROUP BY 1),
 chosent AS (
-  SELECT conv_id FROM sizest WHERE n BETWEEN 64 AND 400
+  SELECT conv_id FROM sizest WHERE n BETWEEN {n_lo} AND {n_hi}
   ORDER BY conv_id LIMIT 5
 ),
 r AS (SELECT t.conv_id, t.i, t.value FROM tsert t JOIN chosent USING (conv_id)),
@@ -3200,8 +3208,11 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     out["stream_mpx_incremental"] = out["mpx_w16"]
     out["motifs_top3"] = _motifs_oracle_sql()
     out["tier_motifs_1m"] = _motifs_oracle_sql(
-        base_cte=_tier1m_cte(8, "subt"), w=8, metric="token_count_1m",
+        base_cte=_tier_cte(8, "subt"), w=8, metric="token_count_1m",
         stats="subt")
+    out["tier_motifs_1h"] = _motifs_oracle_sql(
+        base_cte=_tier_cte(8, "subt", bucket_s=3600, n_lo=24), w=8,
+        metric="token_count_1h", stats="subt")
     out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
     # global motif twin: the per-conv suppression chain with each pick's
     # distance surfaced, re-ranked globally (unrounded md orders, the

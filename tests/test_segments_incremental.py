@@ -74,6 +74,10 @@ def test_segment_chunk_key_bounds_groups_with_idx_holes(spark):
     np.testing.assert_array_equal(
         back["value"].to_numpy(dtype=float), pdf["value"].values
     )
+    # since round 5 the point indices travel as their own dod stream, so
+    # decode returns the ORIGINAL idx — holes included — not a dense
+    # renumbering
+    np.testing.assert_array_equal(back["idx"].values, idx)
 
 
 def test_series_segment_roundtrip(spark, transcripts):
