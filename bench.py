@@ -167,9 +167,10 @@ def synth_long_series(spark, k: int, length: int):
 def probe_job(cores: int) -> dict:
     """The scaling probe: rollup cascade + MPX profiles, fixed input.
 
-    The timed section repeats twice and keeps the faster run (the host
-    VM is shared/noisy); python workers and codegen are warmed first so
-    cold-start cost doesn't masquerade as poor scaling.
+    Each stage takes a fixed in-JVM rep count and keeps the min
+    (cascade ×2, mpx ×3, ALU ×2 — the host VM is shared/noisy); python
+    workers and codegen are warmed first so cold-start cost doesn't
+    masquerade as poor scaling.
     """
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     spark = make_spark(cores, f"probe-{cores}")
