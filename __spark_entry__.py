@@ -103,6 +103,23 @@ def _q_rollup(tier: str):
     return q
 
 
+def _q_rollup_refresh_1m(spark, sf_dir):
+    """Continuous-aggregate invalidation refresh: a deterministic ~10%
+    of points arrive 'late'; the base rollup is built from the on-time
+    rows only, then refresh_rollup invalidates the late-touched buckets
+    (broadcast anti-join) and recomputes just those from raw∪late
+    (broadcast semi-join pruning the re-scan). The oracle is the
+    from-scratch full-data rollup — the refresh must be
+    indistinguishable from never having been late, for ANY split, which
+    is why the split predicate needs no oracle twin."""
+    ser = _series(spark, sf_dir)
+    is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
+    on_time = ser.where(~is_late)
+    late = ser.where(is_late)
+    base = rollup.rollup_from_raw(on_time, 60)
+    return rollup.refresh_rollup(base, on_time, late, 60)
+
+
 def _q_rollup_1h_stats(spark, sf_dir):
     ser = _series(spark, sf_dir)
     return rollup.with_derived_stats(rollup.build_cascade(ser)["1h"])
@@ -1161,6 +1178,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_token_count": _q_series_token_count,
         "turn_rate_1m": _q_turn_rate_1m,
         "rollup_1m": _q_rollup("1m"),
+        "rollup_refresh_1m": _q_rollup_refresh_1m,
         "stream_rollup_1m": _q_stream_rollup_1m,
         "stream_stateful_stats": _q_stream_stateful_stats,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
@@ -2974,6 +2992,8 @@ SELECT conv_id, 'turn_rate' AS metric,
 FROM b
 """.strip(),
         "rollup_1m": _rollup_oracle(60),
+        # refresh must be indistinguishable from never having been late
+        "rollup_refresh_1m": _rollup_oracle(60),
         "stream_rollup_1m": f"""
 WITH {_SERIES_CTE}
 SELECT conv_id, metric,

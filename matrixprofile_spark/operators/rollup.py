@@ -140,6 +140,49 @@ def materialize_cascade(
             for t in ("1m", "1h", "1d")}
 
 
+def invalidated_keys(late: DataFrame, tier_s: int) -> DataFrame:
+    """Distinct (conv_id, metric, bucket) groups a late batch touches —
+    the continuous aggregate's invalidation log entries."""
+    return (
+        late.where(F.col("value").isNotNull())
+        .select("conv_id", "metric",
+                _bucket("ts_epoch", tier_s).alias("bucket_epoch"))
+        .distinct()
+    )
+
+
+def refresh_rollup(base: DataFrame, raw: DataFrame, late: DataFrame,
+                   tier_s: int) -> DataFrame:
+    """Invalidate-and-recompute refresh of a materialized rollup under
+    late-arriving data (the TimescaleDB continuous-aggregate policy).
+
+    A bucket's first/last sketch slots cannot be merged from two partial
+    sketches without carrying their timestamps, so late data does NOT
+    merge into the base sketch — it invalidates the touched
+    (conv_id, metric, bucket) groups and those buckets recompute from
+    raw∪late, while every untouched bucket is carried over verbatim.
+    The refreshed table must bit-equal a from-scratch rollup of the full
+    data (the oracle).
+
+    Scale shape: the invalidation key set is per-batch-small →
+    broadcast; the base table sheds invalidated rows via a broadcast
+    anti-join (no shuffle of base), and the raw re-read is a broadcast
+    semi-join that prunes at the scan (bucket ⊆ the raw table's
+    time-partition column, so partition pruning + runtime filtering
+    keep the re-scan proportional to the invalidated window, not to
+    raw)."""
+    keys = invalidated_keys(late, tier_s)
+    on = ["conv_id", "metric", "bucket_epoch"]
+    kept = base.join(F.broadcast(keys), on, "left_anti")
+    raw_all = raw.unionByName(late)
+    affected = (
+        raw_all.withColumn("bucket_epoch", _bucket("ts_epoch", tier_s))
+        .join(F.broadcast(keys), on, "left_semi")
+        .drop("bucket_epoch")
+    )
+    return kept.unionByName(rollup_from_raw(affected, tier_s))
+
+
 def with_derived_stats(rollup: DataFrame) -> DataFrame:
     """mean/std recovered from the sketch (no raw re-scan).
 

@@ -129,6 +129,35 @@ def test_materialize_cascade_matches_chained(transcripts, tmp_path):
         assert b.exceptAll(a).count() == 0
 
 
+def test_refresh_rollup_equals_full_recompute(transcripts, spark):
+    """Invalidation refresh under late data must be indistinguishable
+    from never having been late — including the edge cases: a bucket
+    whose points are ALL late (absent from base, fully recomputed) and
+    a late batch row with a NULL value (invalidates nothing)."""
+    from pyspark.sql import functions as F
+
+    ser = S.project_series(transcripts)
+    is_late = (F.abs(F.hash("conv_id", "idx")) % 4) == 0  # heavy: ~25%
+    on_time, late = ser.where(~is_late), ser.where(is_late)
+    base = rollup.rollup_from_raw(on_time, 60)
+    got = rollup.refresh_rollup(base, on_time, late, 60)
+    want = rollup.rollup_from_raw(ser, 60)
+    assert got.columns == want.columns
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # all-late bucket: base misses it entirely, refresh must produce it
+    one = ser.limit(0)  # empty on-time
+    got2 = rollup.refresh_rollup(
+        rollup.rollup_from_raw(one, 60), one, ser, 60)
+    assert got2.exceptAll(want).count() == 0
+    assert want.exceptAll(got2).count() == 0
+    # NULL-only late batch invalidates nothing: refresh == base
+    null_late = ser.where(F.col("value").isNull())
+    got3 = rollup.refresh_rollup(base, on_time, null_late, 60)
+    assert got3.exceptAll(base).count() == 0
+    assert base.exceptAll(got3).count() == 0
+
+
 def test_retention_cover_is_disjoint_and_total(transcripts):
     ser = S.project_series(transcripts)
     now = ser.agg({"ts_epoch": "max"}).collect()[0][0]
