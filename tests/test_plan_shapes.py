@@ -1,0 +1,96 @@
+"""Physical-plan shape regressions for scale-critical operators.
+
+These pin the plan PROPERTIES the 100-TB story depends on (exchange
+counts, broadcast-vs-shuffle join choices), not the full plan text —
+so a Spark upgrade can re-order operators without breaking them, but a
+code change that silently reintroduces a shuffle or a cartesian fails
+loudly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from matrixprofile_spark.operators import rollup, segments
+from matrixprofile_spark.operators import series as S
+from matrixprofile_spark.sources.synth import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def ser(spark):
+    return S.project_series(synth_transcripts(spark, 40))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _logical_count(df, node: str) -> int:
+    # formatted explain of the final plan without executing an action
+    return df._jdf.queryExecution().executedPlan().toString().count(node)
+
+
+def test_decode_segments_has_no_exchange(spark):
+    """Chunks decode independently since the idx stream travels inside
+    each chunk — decode over an already-materialized segments table must
+    plan as scan → decode with ZERO exchanges."""
+    pdf = pd.DataFrame({
+        "conv_id": "c0", "metric": "m",
+        "idx": np.arange(64, dtype=np.int64),
+        "ts_epoch": 1_600_000_000 + 60 * np.arange(64, dtype=np.int64),
+        "value": np.arange(64, dtype=float),
+    })
+    seg = segments.encode_segments(spark.createDataFrame(pdf), 16)
+    seg_tbl = spark.createDataFrame(seg.toPandas(), schema=seg.schema)
+    plan = _plan(segments.decode_segments(seg_tbl))
+    assert "Exchange" not in plan, plan
+
+
+def test_refresh_rollup_joins_are_broadcast(ser):
+    """The invalidation key set must broadcast: base sheds invalidated
+    buckets via a broadcast anti-join and the raw re-scan is a broadcast
+    semi-join — a sort-merge join here would shuffle the base/raw tables
+    on every refresh."""
+    is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
+    on_time, late = ser.where(~is_late), ser.where(is_late)
+    base = rollup.rollup_from_raw(on_time, 60)
+    plan = _plan(rollup.refresh_rollup(base, on_time, late, 60))
+    lines = plan.splitlines()
+
+    def joins(kind):
+        return [ln for ln in lines if kind in ln and "Join" in ln]
+
+    assert any("BroadcastHashJoin" in ln for ln in joins("LeftAnti")), plan
+    assert any("BroadcastHashJoin" in ln for ln in joins("LeftSemi")), plan
+    assert not any("SortMergeJoin" in ln
+                   for ln in joins("LeftAnti") + joins("LeftSemi")), plan
+
+
+def test_cascade_union_shares_one_raw_aggregation(ser):
+    """The tier union's three branches must share the raw→1m subtree:
+    only ONE partial aggregation keyed by the 1m bucket may appear (the
+    1h/1d branches re-aggregate its sketch rows), or the raw table is
+    scanned per tier at 100 TB. Count partial_min_by slots: raw→1m is
+    the only stage aggregating over ts_epoch-derived first/last."""
+    plan = _plan(rollup.cascade_union(ser))
+    # one raw-keyed partial agg (floor(ts/60)) regardless of tier count
+    assert plan.count("floor((ts_epoch") + plan.count("floor(ts_epoch") <= 2, plan
+
+
+def test_dedup_lsh_has_no_cartesian(spark):
+    """Candidate generation must stay an equi-join on the band hash —
+    a cartesian/broadcast-nested-loop here is the n² trap."""
+    from matrixprofile_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x y z a b c") for i in range(50)],
+        "doc_id int, text string",
+    )
+    sigs = DD.minhash_signatures(DD.shingles(docs, 3, distinct=False), 8)
+    pairs = DD.lsh_candidate_pairs(sigs, bands=4)
+    plan = _plan(DD.jaccard_pairs(DD.shingles(docs, 3, distinct=False), pairs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
