@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "rollup_1h",
     "rollup_1d",
     "rollup_1h_stats",
+    "rollup_refresh_1m",
     "gapfill_locf",
     "moving_stats_w8",
     "mpx_w16",
