@@ -112,7 +112,11 @@ def _q_rollup_refresh_1m(spark, sf_dir):
     from-scratch full-data rollup — the refresh must be
     indistinguishable from never having been late, for ANY split, which
     is why the split predicate needs no oracle twin."""
-    ser = _series(spark, sf_dir)
+    # localCheckpoint: in production, raw is a materialized table the
+    # refresh re-reads — without it the synthetic series generator
+    # (window-heavy) would run once per branch (base + anti + semi),
+    # which benchmarks the generator, not the refresh (3.6→2.5 s sf0.1)
+    ser = _series(spark, sf_dir).localCheckpoint(eager=True)
     is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
     on_time = ser.where(~is_late)
     late = ser.where(is_late)
