@@ -16,6 +16,9 @@ incremental  resumable day-partitioned rollup with a commit manifest
              + row-count metrics live in <workdir>/manifest.jsonl
 streaming    continuously-running raw→1m via Structured Streaming
              (streaming/structured.stream_rollup_1m, availableNow drain)
+refresh      continuous-aggregate maintenance under late data
+             (operators/rollup.refresh_rollup): invalidated buckets
+             recompute from raw, untouched buckets carry over
 
 Example (local smoke, same command shape as a cluster run):
 
@@ -89,6 +92,33 @@ def run_incremental(spark, args) -> dict:
             "manifest_rows": len(INC.load_manifest(args.workdir))}
 
 
+def run_refresh(spark, args) -> dict:
+    """Continuous-aggregate maintenance: refresh the materialized 1m
+    tier under a late batch (a deterministic slice of the input stands
+    in for late arrivals when no real late feed exists), verifying the
+    invalidate-and-recompute path end-to-end through parquet."""
+    from pyspark.sql import functions as F
+
+    from matrixprofile_spark.operators import rollup
+
+    ser = _series_from_args(spark, args).localCheckpoint(eager=True)
+    is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
+    on_time, late = ser.where(~is_late), ser.where(is_late)
+    base_path = os.path.join(args.workdir, "rollup_1m_base")
+    rollup.rollup_from_raw(on_time, 60).write.mode("overwrite").parquet(
+        base_path)
+    base = spark.read.parquet(base_path)
+    t0 = time.time()
+    refreshed = rollup.refresh_rollup(base, on_time, late, 60)
+    out_path = os.path.join(args.workdir, "rollup_1m")
+    refreshed.write.mode("overwrite").parquet(out_path)
+    wall = time.time() - t0
+    n = spark.read.parquet(out_path).count()
+    n_invalid = rollup.invalidated_keys(late, 60).count()
+    return {"mode": "refresh", "wall_sec": round(wall, 2),
+            "rollup_1m_rows": n, "invalidated_buckets": n_invalid}
+
+
 def run_streaming(spark, args) -> dict:
     from matrixprofile_spark.streaming.structured import stream_rollup_1m
 
@@ -104,7 +134,8 @@ def run_streaming(spark, args) -> dict:
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--mode", choices=["batch", "incremental", "streaming"],
+    p.add_argument("--mode",
+                   choices=["batch", "incremental", "streaming", "refresh"],
                    default="batch")
     p.add_argument("--input", help="transcripts parquet dir "
                    "(conv_id, turn_idx, role, text, tool, ts_epoch)")
@@ -122,6 +153,7 @@ def main() -> None:
     spark = get_submit_spark(f"rollup_job_{args.mode}")
     os.makedirs(args.workdir, exist_ok=True)
     result = {"batch": run_batch, "incremental": run_incremental,
+              "refresh": run_refresh,
               "streaming": run_streaming}[args.mode](spark, args)
     with open(os.path.join(args.workdir, "metrics.json"), "w") as f:
         json.dump(result, f)

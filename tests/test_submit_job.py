@@ -50,3 +50,25 @@ def test_spark_submit_batch_job(tmp_path):
     metrics = json.load(open(os.path.join(wd, "metrics.json")))
     assert metrics["mode"] == "batch"
     assert metrics["tier_rows"]["1m"] > metrics["tier_rows"]["1h"] > 0
+
+
+@pytest.mark.skipif(not os.path.exists(SUBMIT), reason="no spark-submit")
+def test_spark_submit_refresh_job(tmp_path):
+    sys.path.insert(0, HERE)
+    from tools.make_pyfiles import build
+
+    zip_path = build(str(tmp_path / "pkg.zip"))
+    wd = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    r = subprocess.run(
+        [SUBMIT, "--master", "local[4]", "--py-files", zip_path,
+         os.path.join(HERE, "jobs", "rollup_job.py"),
+         "--mode", "refresh", "--synth-convs", "40", "--workdir", wd],
+        cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(os.path.join(wd, "metrics.json")))
+    assert metrics["mode"] == "refresh"
+    assert metrics["invalidated_buckets"] > 0
+    assert metrics["rollup_1m_rows"] > metrics["invalidated_buckets"]
