@@ -956,6 +956,22 @@ def _q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _q_media_resize(spark, sf_dir):
+    """Nearest-neighbor resize of each image payload's byte grid to 8×8
+    (brief: decode / feature-extract / RESIZE / frame-sample). Exploded
+    to one row per output pixel so the oracle compares scalar byte
+    values; the SQL twin replays the same index map over hex(utf8(text))
+    — exact for any corpus."""
+    from matrixprofile_spark.operators import multimodal as MM
+
+    media = MM.synthesize_media(_docs(spark, sf_dir))
+    out = MM.resize_images(media, out_w=8, out_h=8)
+    return out.select(
+        "doc_id", F.posexplode("pixels").alias("pix_idx", "byte_val")
+    ).select("doc_id", F.col("pix_idx").cast("bigint").alias("pix_idx"),
+             F.col("byte_val").cast("int").alias("byte_val"))
+
+
 def _query_vecs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return emb.where(F.col("vec_id") < 10).select(
@@ -1131,6 +1147,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_view": _q_retention_view,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        "media_resize": _q_media_resize,
         "tier_discords_1m": _q_tier_discords(60, "token_count_1m", 64),
         "tier_discords_1h": _q_tier_discords(3600, "token_count_1h", 24),
         "tier_motifs_1m": _q_tier_motifs(60, "token_count_1m", 64),
@@ -1937,6 +1954,23 @@ SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
        substr(hx, CAST(fi * 128 + 1 AS INTEGER), 128) AS frame_hex
 FROM h, unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT), 2)) AS t(fi)
 WHERE nb > 0
+""".strip(),
+        "media_resize": """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         CAST(ceil(octet_length(encode(text)) / 16.0) AS INTEGER) AS ht
+  FROM documents WHERE doc_id % 3 = 0 AND octet_length(encode(text)) > 0
+)
+SELECT doc_id, CAST(i AS BIGINT) AS pix_idx,
+       CASE WHEN (((i // 8) * ht) // 8) * 16 + (((i % 8) * 16) // 8) < nb
+            THEN CAST(('0x' || substr(
+                   hx,
+                   CAST(((((i // 8) * ht) // 8) * 16
+                         + (((i % 8) * 16) // 8)) * 2 + 1 AS INTEGER),
+                   2)) AS INTEGER)
+            ELSE 0 END AS byte_val
+FROM h, unnest(range(0, 64)) t(i)
 """.strip(),
         "ann_brute_topk": f"""
 WITH q AS (

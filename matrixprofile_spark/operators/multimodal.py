@@ -115,6 +115,49 @@ def media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, schema)
 
 
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Nearest-neighbor resize of each image payload's byte grid.
+
+    The fake decode views the payload as a row-major (height × width)
+    uint8 grid (zero-padded tail, matching the metadata a real ingest
+    persists); resize samples src_r = (r·H)//out_h, src_c = (c·W)//out_w
+    — the standard nearest-neighbor index map, fully vectorized NumPy
+    over each Arrow batch. A real pipeline swaps ``decode_payload`` for
+    the codec seam (``decode_with_real_codecs``) and keeps this stage's
+    batching/schema unchanged. Narrow map: the image-kind filter and the
+    metadata columns stay Catalyst-side, so non-image payload bytes
+    never reach Python."""
+    schema = "doc_id bigint, out_w int, out_h int, pixels array<int>"
+    rr_base = np.arange(out_h, dtype=np.int64)
+    cc_base = np.arange(out_w, dtype=np.int64)
+
+    def fn(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, pix = [], []
+            for d, w, h, p in zip(pdf["doc_id"], pdf["width"],
+                                  pdf["height"], pdf["payload"]):
+                w, h = int(w), int(h)
+                g = decode_payload("image", bytes(p))
+                g = np.pad(g, (0, w * h - len(g)))[: w * h].reshape(h, w)
+                rr = (rr_base * h) // out_h
+                cc = (cc_base * w) // out_w
+                ids.append(int(d))
+                pix.append(g[np.ix_(rr, cc)].ravel().astype("int32"))
+            yield pd.DataFrame({
+                "doc_id": ids, "out_w": out_w, "out_h": out_h,
+                "pixels": pix,
+            })
+
+    return (
+        media.where(F.col("kind") == "image")
+        .where(F.octet_length("payload") > 0)
+        .select("doc_id", "width", "height", "payload")
+        .mapInPandas(fn, schema)
+    )
+
+
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
     """Every k-th fixed-stride frame of each video payload.
 
