@@ -1862,7 +1862,9 @@ SELECT doc_id AS id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
   CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
-  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT) AS n_ws_tokens
+  CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+       AS BIGINT) AS n_bpe_tokens
 FROM documents
 """.strip(),
         "quality_score": """

@@ -33,6 +33,12 @@ def _tokens(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), " ")
 
 
+# simplified BPE pre-tokenizer classes (letter runs / digit runs /
+# single non-alnum), ASCII-portable between Java regex and DuckDB RE2 —
+# the shape of GPT-2's pre-split without its lookahead/unicode classes
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
     return docs.select(
@@ -42,6 +48,8 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
         (F.length(F.regexp_replace(F.col(text_col), r"[^ ]", "")) + 1)
         .cast("bigint").alias("n_ws_tokens"),
+        F.expr(f"regexp_count({text_col}, '{BPE_TOKEN_RE}')")
+        .cast("bigint").alias("n_bpe_tokens"),
     )
 
 
