@@ -956,6 +956,15 @@ def _q_media_frame_sample(spark, sf_dir):
     )
 
 
+def _q_winnow_fp(spark, sf_dir):
+    """Full winnowing fingerprint sets (window-min over k-gram hashes,
+    k=5 w=4) — any shared ≥8-token run between documents shares a
+    fingerprint. One (id, fp) row per selected print."""
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.winnow_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_media_resize(spark, sf_dir):
     """Nearest-neighbor resize of each image payload's byte grid to 8×8
     (brief: decode / feature-extract / RESIZE / frame-sample). Exploded
@@ -1159,6 +1168,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "langid": _q_langid,
         "fingerprints": _q_fingerprints,
+        "winnow_fp": _q_winnow_fp,
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_learned": _q_ann_ivf_learned,
@@ -1920,6 +1930,26 @@ SELECT id, md5(txt) AS content_md5,
   list_aggregate(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
                  i -> md5(array_to_string(toks[i:i+4], ' '))), 'min') AS winnow_fp
 FROM t
+""".strip(),
+        "winnow_fp": """
+WITH t AS (
+  SELECT doc_id AS id, string_split(trim(text), ' ') AS toks FROM documents
+),
+g AS (
+  SELECT id,
+         list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                        i -> md5(array_to_string(toks[i:i+4], ' '))) AS gh
+  FROM t
+),
+sel AS (
+  SELECT id,
+    CASE WHEN len(gh) >= 4
+         THEN list_distinct(list_transform(range(1, len(gh) - 2),
+              j -> list_aggregate(gh[j:j+3], 'min')))
+         ELSE [list_aggregate(gh, 'min')] END AS fps
+  FROM g WHERE len(gh) > 0
+)
+SELECT id, unnest(fps) AS fp FROM sel
 """.strip(),
         "media_features": """
 WITH h AS (

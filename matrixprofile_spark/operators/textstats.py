@@ -100,6 +100,46 @@ def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Full winnowing (Schleimer et al., SIGMOD'03): hash every word
+    k-gram, slide a window of `window` consecutive gram hashes, keep
+    each window's minimum, emit the distinct selected fingerprints —
+    one (id, fp) row each. Guarantees any shared run of ≥ k+window-1
+    tokens between two documents shares at least one fingerprint.
+
+    The paper's rolling Karp-Rabin hash is an O(1)-update trick, not a
+    semantic requirement; md5 per gram gives the same selection with
+    Catalyst-only expressions (the per-doc arrays are bounded by doc
+    length, and everything below the explode is whole-stage codegen)."""
+    toks = _tokens(text_col)
+    grams_h = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bound = docs.select(F.col(id_col).alias("id"), grams_h.alias("gh"))
+    fps = F.when(
+        F.size(F.col("gh")) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("gh") - (window - 1)),
+                lambda j: F.array_min(F.slice(F.col("gh"), j, window)),
+            )
+        ),
+    ).otherwise(
+        # shorter than one window: the global min is the lone print
+        F.array(F.array_min("gh"))
+    )
+    return (
+        bound.where(F.size("gh") > 0)
+        .select("id", F.explode(fps).alias("fp"))
+    )
+
+
 def fingerprints(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     toks = _tokens(text_col)
