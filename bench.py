@@ -69,6 +69,12 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 # odds of catching a clean host window at BOTH core counts; still fixed
 # up front.
 PROBE_PAIRS = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "6"))
+# wall budget for the probe phase, checked ONLY at pair boundaries: a
+# pathologically slow host window stops the protocol early but always
+# on a complete (lo, hi) pair, and the artifact records planned vs done
+# — symmetric truncation cannot bias the estimator toward passing the
+# gate, unlike the retry-until-pass this protocol replaced
+PROBE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET_S", "4500"))
 
 # headline queries (subset of __spark_entry__.queries(); each also has a
 # DuckDB oracle in oracle_sql(), so what we time is what we verify)
@@ -407,10 +413,16 @@ def main_bench() -> dict:
         # one pre-declared symmetric protocol plus every raw sample.
         runs_lo: list[dict] = []
         runs_hi: list[dict] = []
+        probes_t0 = time.time()
+        pairs_done = 0
         for i in range(PROBE_PAIRS):
+            if i > 0 and time.time() - probes_t0 > PROBE_BUDGET_S:
+                log(f"probe budget exhausted after {pairs_done} pairs")
+                break
             log(f"probe pair {i + 1}/{PROBE_PAIRS}")
             runs_lo.append(run_probe_subprocess(SCALE_LO))
             runs_hi.append(run_probe_subprocess(SCALE_HI))
+            pairs_done += 1
         lo = _combine(runs_lo)
         hi = _combine(runs_hi)
         if lo and hi:
@@ -443,6 +455,7 @@ def main_bench() -> dict:
                     (lo.get("alu_sec", 0)
                      / max(hi.get("alu_sec", 1), 1e-9)) / ratio, 3),
                 "probe_pairs": PROBE_PAIRS,
+                "probe_pairs_done": pairs_done,
                 "probe": {"series": PROBE_SERIES, "len": PROBE_LEN,
                           "cascade_series": PROBE_CASCADE_SERIES,
                           "cascade_len": PROBE_CASCADE_LEN},
