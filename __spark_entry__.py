@@ -103,6 +103,9 @@ def _q_rollup(tier: str):
     return q
 
 
+_REFRESH_SER_MEMO: dict = {}
+
+
 def _q_rollup_refresh_1m(spark, sf_dir):
     """Continuous-aggregate invalidation refresh: a deterministic ~10%
     of points arrive 'late'; the base rollup is built from the on-time
@@ -115,8 +118,15 @@ def _q_rollup_refresh_1m(spark, sf_dir):
     # localCheckpoint: in production, raw is a materialized table the
     # refresh re-reads — without it the synthetic series generator
     # (window-heavy) would run once per branch (base + anti + semi),
-    # which benchmarks the generator, not the refresh (3.6→2.5 s sf0.1)
-    ser = _series(spark, sf_dir).localCheckpoint(eager=True)
+    # which benchmarks the generator, not the refresh (3.6→2.5 s sf0.1).
+    # Memoized per (session, sf_dir): each checkpoint pins blocks for
+    # the session's lifetime, so re-checkpointing per call (bench reps +
+    # oracle gate) would accumulate dead copies.
+    key = (id(spark), sf_dir)
+    ser = _REFRESH_SER_MEMO.get(key)
+    if ser is None:
+        ser = _series(spark, sf_dir).localCheckpoint(eager=True)
+        _REFRESH_SER_MEMO[key] = ser
     is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
     on_time = ser.where(~is_late)
     late = ser.where(is_late)
@@ -1319,37 +1329,13 @@ r AS (SELECT t.conv_id, t.i, t.value FROM tsert t JOIN chosent USING (conv_id)),
 def _tier_discords_oracle_sql(bucket_s: int, label: str, n_lo: int,
                               n_hi: int = 400) -> str:
     """DuckDB twin of the per-tier discords query: rebuild the
-    `bucket_s`-second rollup tier's mean series (gaps collapsed to a
-    contiguous index, 5 chosen conversations with tier length in
-    [n_lo, n_hi]), brute-force the w=8 profile via the per-diagonal
-    window-sum MPX block, then apply 3 suppression rounds with ez=2."""
+    `bucket_s`-second rollup tier's mean series (the shared _tier_cte —
+    gaps collapsed to a contiguous index, 5 chosen conversations with
+    tier length in [n_lo, n_hi]), brute-force the w=8 profile via the
+    per-diagonal window-sum MPX block, then apply 3 suppression rounds
+    with ez=2."""
     return f"""
-WITH transcripts AS ({_T}),
-tok AS (
-  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
-  FROM transcripts
-),
-rt AS (
-  SELECT conv_id,
-         CAST(FLOOR(ts_epoch / {float(bucket_s)}) * {bucket_s} AS BIGINT)
-           AS bucket_epoch,
-         sum(value) AS vsum, count(value) AS cnt
-  FROM tok GROUP BY 1, 2
-),
-tser AS (
-  SELECT conv_id,
-         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY bucket_epoch)
-              - 1 AS BIGINT) AS i,
-         vsum / cnt AS value
-  FROM rt
-),
-sizes AS (SELECT conv_id, count(*) AS n FROM tser GROUP BY 1),
-chosen AS (
-  SELECT conv_id FROM sizes WHERE n BETWEEN {n_lo} AND {n_hi}
-  ORDER BY conv_id LIMIT 5
-),
-r AS (SELECT t.conv_id, t.i, t.value FROM tser t JOIN chosen USING (conv_id)),
-{_w_stats_sql(8, "st8t")},
+WITH {_tier_cte(8, "st8t", bucket_s=bucket_s, n_lo=n_lo, n_hi=n_hi)},
 {_mpx_block_sql(8, "st8t", "t1")},
 mp AS MATERIALIZED (
   SELECT conv_id, i AS idx, sqrt(2 * 8 * (1 - least(max(c), 1.0))) AS dist

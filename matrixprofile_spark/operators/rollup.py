@@ -152,7 +152,7 @@ def invalidated_keys(late: DataFrame, tier_s: int) -> DataFrame:
 
 
 def refresh_rollup(base: DataFrame, raw: DataFrame, late: DataFrame,
-                   tier_s: int) -> DataFrame:
+                   tier_s: int, raw_includes_late: bool = False) -> DataFrame:
     """Invalidate-and-recompute refresh of a materialized rollup under
     late-arriving data (the TimescaleDB continuous-aggregate policy).
 
@@ -164,6 +164,12 @@ def refresh_rollup(base: DataFrame, raw: DataFrame, late: DataFrame,
     The refreshed table must bit-equal a from-scratch rollup of the full
     data (the oracle).
 
+    ``raw`` is the point set the BASE was built from — it must NOT
+    already contain the late rows, or every late point double-counts in
+    the recomputed buckets. If the caller re-reads a post-ingest raw
+    table into which the late batch has already landed, pass
+    ``raw_includes_late=True`` and the union is skipped.
+
     Scale shape: the invalidation key set is per-batch-small →
     broadcast; the base table sheds invalidated rows via a broadcast
     anti-join (no shuffle of base), and the raw re-read is a broadcast
@@ -174,7 +180,7 @@ def refresh_rollup(base: DataFrame, raw: DataFrame, late: DataFrame,
     keys = invalidated_keys(late, tier_s)
     on = ["conv_id", "metric", "bucket_epoch"]
     kept = base.join(F.broadcast(keys), on, "left_anti")
-    raw_all = raw.unionByName(late)
+    raw_all = raw if raw_includes_late else raw.unionByName(late)
     affected = (
         raw_all.withColumn("bucket_epoch", _bucket("ts_epoch", tier_s))
         .join(F.broadcast(keys), on, "left_semi")

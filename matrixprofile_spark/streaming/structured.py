@@ -176,8 +176,9 @@ def stream_mpx_incremental(
     out-of-order *pending* buffer, by contrast, is bounded: a point that
     never arrives would otherwise stall the prefix and grow pending
     forever, so once pending exceeds ``max_pending`` the hole is declared
-    lost and LOCF-filled (same policy as the engine's gapfill_locf) up to
-    the next pending index, and an audit row (idx = -1, dist = points
+    lost and LOCF-filled (the engine's gapfill_locf policy; a leading
+    hole with no prior observation backfills from the next one, NOCB) up
+    to the next pending index, and an audit row (idx = -1, dist = points
     filled so far) is emitted for the series. The complete-drain oracle
     never triggers the cap, so its exact-match contract is unchanged. At
     scale the sink would be an upsert store keyed by (conv_id, idx)
@@ -216,9 +217,11 @@ def stream_mpx_incremental(
         # bounded-state guarantee: a hole the stream never fills must not
         # stall the series while pending grows without limit — over the
         # cap, LOCF-fill the gap to the next arrived index and drain
+        # (a leading hole has no last observation, so it backfills from
+        # the next one — NOCB — rather than fabricating zeros)
         while len(pend) > max_pending:
             nxt = min(pend)
-            fill_v = vals[-1] if vals else 0.0
+            fill_v = vals[-1] if vals else pend[nxt]
             filled += nxt - len(vals)
             vals.extend([fill_v] * (nxt - len(vals)))
             grew = True

@@ -28,11 +28,6 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _logical_count(df, node: str) -> int:
-    # formatted explain of the final plan without executing an action
-    return df._jdf.queryExecution().executedPlan().toString().count(node)
-
-
 def test_decode_segments_has_no_exchange(spark):
     """Chunks decode independently since the idx stream travels inside
     each chunk — decode over an already-materialized segments table must

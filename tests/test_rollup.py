@@ -156,6 +156,12 @@ def test_refresh_rollup_equals_full_recompute(transcripts, spark):
     got3 = rollup.refresh_rollup(base, on_time, null_late, 60)
     assert got3.exceptAll(base).count() == 0
     assert base.exceptAll(got3).count() == 0
+    # post-ingest framing: raw already contains the late rows →
+    # raw_includes_late=True must not double-count them
+    got4 = rollup.refresh_rollup(base, ser, late, 60,
+                                 raw_includes_late=True)
+    assert got4.exceptAll(want).count() == 0
+    assert want.exceptAll(got4).count() == 0
 
 
 def test_retention_cover_is_disjoint_and_total(transcripts):
