@@ -29,7 +29,15 @@ engine reaches, so a degraded host epoch cannot single-handedly fail
 the gate. The gate is: raw efficiency ≥ 0.8, or ceiling-relative
 efficiency ≥ 0.8 with the raw number and every sample published.
 
-All logging goes to stderr; stdout carries exactly one JSON line.
+All logging goes to stderr. stdout carries full-result JSON lines,
+streamed: one after the query phase (no scaling yet), one after EVERY
+completed probe pair (scaling over the pairs so far), and the final
+one after BENCH.md is written. Every line is the complete result in
+the final schema — parse the LAST line. A timeout at any point leaves
+the last complete line (also checkpointed to BENCH_partial.json) as a
+valid artifact; round 5's all-or-nothing emit lost the whole run to a
+driver wall-clock kill and this layout makes that structurally
+impossible.
 """
 
 from __future__ import annotations
@@ -65,16 +73,20 @@ PROBE_CASCADE_LEN = int(os.environ.get("SPARK_GRAFT_PROBE_CASCADE_LEN", "262144"
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 # fixed-N probe protocol: exactly this many interleaved (lo, hi) pairs,
 # declared before the run — no adaptive retry (see scaling block below).
-# 6 pairs since round 5 (was 4): tightens the per-stage min estimator's
-# odds of catching a clean host window at BOTH core counts; still fixed
-# up front.
-PROBE_PAIRS = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "6"))
-# wall budget for the probe phase, checked ONLY at pair boundaries: a
-# pathologically slow host window stops the protocol early but always
-# on a complete (lo, hi) pair, and the artifact records planned vs done
-# — symmetric truncation cannot bias the estimator toward passing the
-# gate, unlike the retry-until-pass this protocol replaced
-PROBE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET_S", "4500"))
+# Back to 4 pairs for round 6 (r5's 6 pairs × ~11 min/pair outgrew the
+# driver wall clock and the run died at rc 124 with nothing published).
+PROBE_PAIRS = int(os.environ.get("SPARK_GRAFT_PROBE_PAIRS", "4"))
+# wall budget for the probe phase, checked ONLY at pair boundaries and
+# PREDICTIVELY (a pair is skipped when elapsed + mean-pair-cost-so-far
+# would overrun): a slow host window stops the protocol early but
+# always on a complete (lo, hi) pair, and the artifact records planned
+# vs done — symmetric truncation cannot bias the estimator toward
+# passing the gate, unlike the retry-until-pass this protocol replaced.
+# Default 2100 s: r5's 4500 s default exceeded the ~3600 s driver wall
+# clock that killed the run, so the guard never fired. 2100 s of probes
+# + ~500 s query phase leaves ~900 s margin inside a 3600 s wall, and
+# typically completes 3 full pairs (~700 s each measured in r5).
+PROBE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET_S", "2100"))
 
 # headline queries (subset of __spark_entry__.queries(); each also has a
 # DuckDB oracle in oracle_sql(), so what we time is what we verify)
@@ -400,93 +412,6 @@ def main_bench() -> dict:
             (best["cascade_points"] + best["mpx_points"]) / best["wall_sec"], 1)
         return best
 
-    scaling = None
-    if RUN_SCALING:
-        # FIXED-N SYMMETRIC protocol, declared up front: exactly
-        # PROBE_PAIRS interleaved (lo, hi) pairs, no adaptive retry.
-        # Interleaving keeps both core counts inside every host-noise
-        # epoch (epochs last minutes; all-lo-then-all-hi lets one epoch
-        # hit a single core count and corrupt the ratio). The r3 harness
-        # sampled hi twice per lo and retried until the estimate cleared
-        # the bar — both mildly optimistic under a min-estimator
-        # (VERDICT r3 "what's wrong" #3, ADVICE); this build publishes
-        # one pre-declared symmetric protocol plus every raw sample.
-        runs_lo: list[dict] = []
-        runs_hi: list[dict] = []
-        probes_t0 = time.time()
-        pairs_done = 0
-        for i in range(PROBE_PAIRS):
-            if i > 0 and time.time() - probes_t0 > PROBE_BUDGET_S:
-                log(f"probe budget exhausted after {pairs_done} pairs")
-                break
-            log(f"probe pair {i + 1}/{PROBE_PAIRS}")
-            runs_lo.append(run_probe_subprocess(SCALE_LO))
-            runs_hi.append(run_probe_subprocess(SCALE_HI))
-            pairs_done += 1
-        lo = _combine(runs_lo)
-        hi = _combine(runs_hi)
-        if lo and hi:
-            ratio = SCALE_HI / SCALE_LO
-            eff = (hi["points_per_sec"] / lo["points_per_sec"]) / ratio
-            scaling = {
-                "cores_lo": SCALE_LO,
-                "cores_hi": SCALE_HI,
-                "points_per_sec_lo": lo["points_per_sec"],
-                "points_per_sec_hi": hi["points_per_sec"],
-                "wall_sec_lo": lo["wall_sec"],
-                "wall_sec_hi": hi["wall_sec"],
-                "efficiency": round(eff, 3),
-                # component efficiencies: the MPX kernel stage is
-                # compute-bound (tracks the VM's ALU ceiling); the rollup
-                # hash-agg is memory-subsystem-bound on a single box —
-                # on a real cluster N→4N executors adds DRAM bandwidth
-                # with node count, which one box cannot emulate.
-                "efficiency_mpx": round(
-                    (lo["mpx_sec"] / hi["mpx_sec"]) / ratio, 3),
-                "efficiency_cascade": round(
-                    (lo["cascade_sec"] / hi["cascade_sec"]) / ratio, 3),
-                "efficiency_cascade_codegen": round(
-                    (lo.get("cascade_codegen_1m_sec", 0)
-                     / max(hi.get("cascade_codegen_1m_sec", 1), 1e-9))
-                    / ratio, 3),
-                # measured host ceiling: same fixed-flop L2-resident job
-                # at both core counts — no memory-bandwidth component
-                "efficiency_alu_control": round(
-                    (lo.get("alu_sec", 0)
-                     / max(hi.get("alu_sec", 1), 1e-9)) / ratio, 3),
-                "probe_pairs": PROBE_PAIRS,
-                "probe_pairs_done": pairs_done,
-                "probe": {"series": PROBE_SERIES, "len": PROBE_LEN,
-                          "cascade_series": PROBE_CASCADE_SERIES,
-                          "cascade_len": PROBE_CASCADE_LEN},
-                # raw per-run walls so the shared-host variance is
-                # visible next to the combined estimate
-                "samples_lo": [
-                    {k: r[k] for k in ("cascade_sec", "mpx_sec", "alu_sec")
-                     if k in r}
-                    for r in runs_lo if r
-                ],
-                "samples_hi": [
-                    {k: r[k] for k in ("cascade_sec", "mpx_sec", "alu_sec")
-                     if k in r}
-                    for r in runs_hi if r
-                ],
-            }
-            # PRE-DECLARED co-headline (module docstring): stage
-            # efficiency ÷ same-window ALU-control efficiency — how much
-            # of the measured host ceiling the engine achieves. Gate:
-            # raw ≥ 0.8, or ceiling-relative ≥ 0.8 with raw + all
-            # samples published.
-            ceil = scaling["efficiency_alu_control"]
-            if ceil > 0:
-                for name, key in (
-                    ("efficiency_ceiling_relative", "efficiency"),
-                    ("efficiency_mpx_ceiling_relative", "efficiency_mpx"),
-                    ("efficiency_cascade_ceiling_relative",
-                     "efficiency_cascade"),
-                ):
-                    scaling[name] = round(scaling[key] / ceil, 3)
-
     sf = 0.1
     if "sf" in SF_DIR:
         try:
@@ -509,9 +434,136 @@ def main_bench() -> dict:
         # series of this size per second vs the reference's 1/0.816.
         "cores": CPUS,
     }
-    if scaling:
-        result["scaling"] = scaling
+    # stream the result-so-far BEFORE the probe phase starts: the r5
+    # driver run timed out mid-probe and, because JSON was emitted only
+    # at the very end, the artifact retained NOTHING — not even the
+    # query phase that had already completed. Every emit below is the
+    # full result in the final schema, so a kill at any point leaves
+    # the last complete line as a valid artifact.
+    emit(result)
+
+    if RUN_SCALING:
+        # FIXED-N SYMMETRIC protocol, declared up front: exactly
+        # PROBE_PAIRS interleaved (lo, hi) pairs, no adaptive retry.
+        # Interleaving keeps both core counts inside every host-noise
+        # epoch (epochs last minutes; all-lo-then-all-hi lets one epoch
+        # hit a single core count and corrupt the ratio). The r3 harness
+        # sampled hi twice per lo and retried until the estimate cleared
+        # the bar — both mildly optimistic under a min-estimator
+        # (VERDICT r3 "what's wrong" #3, ADVICE); this build publishes
+        # one pre-declared symmetric protocol plus every raw sample.
+        # The wall guard is PREDICTIVE and result-blind: a pair is
+        # skipped when elapsed + mean-pair-cost-so-far would overrun
+        # PROBE_BUDGET_S — a time rule only, so truncation stays
+        # symmetric and cannot steer the estimator toward the gate.
+        runs_lo: list[dict] = []
+        runs_hi: list[dict] = []
+        probes_t0 = time.time()
+        pairs_done = 0
+        for i in range(PROBE_PAIRS):
+            elapsed = time.time() - probes_t0
+            mean_pair = elapsed / pairs_done if pairs_done else 0.0
+            if i > 0 and elapsed + mean_pair > PROBE_BUDGET_S:
+                log(f"probe budget exhausted after {pairs_done} pairs "
+                    f"(elapsed {elapsed:.0f}s + est pair {mean_pair:.0f}s "
+                    f"> {PROBE_BUDGET_S:.0f}s)")
+                break
+            log(f"probe pair {i + 1}/{PROBE_PAIRS}")
+            runs_lo.append(run_probe_subprocess(SCALE_LO))
+            runs_hi.append(run_probe_subprocess(SCALE_HI))
+            pairs_done += 1
+            scaling = compute_scaling(
+                _combine(runs_lo), _combine(runs_hi), pairs_done,
+                runs_lo, runs_hi)
+            if scaling:
+                result["scaling"] = scaling
+                # flush the full result after EVERY pair: any later
+                # timeout still leaves scaling evidence for the pairs
+                # that completed (probe_pairs_done records how many)
+                emit(result)
     return result
+
+
+def emit(result: dict) -> None:
+    """Write the full result-so-far: one JSON line on stdout (flushed)
+    plus a BENCH_partial.json checkpoint file. The driver parses the
+    last JSON line of stdout; each line is complete and small, so a
+    timeout between emits loses only the increment, never the run."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        with open(os.path.join(HERE, "BENCH_partial.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:  # pragma: no cover
+        pass
+
+
+def compute_scaling(lo: dict | None, hi: dict | None, pairs_done: int,
+                    runs_lo: list, runs_hi: list) -> dict | None:
+    """Scaling block from the component-wise minima of the pairs so far."""
+    if not (lo and hi):
+        return None
+    ratio = SCALE_HI / SCALE_LO
+    eff = (hi["points_per_sec"] / lo["points_per_sec"]) / ratio
+    scaling = {
+        "cores_lo": SCALE_LO,
+        "cores_hi": SCALE_HI,
+        "points_per_sec_lo": lo["points_per_sec"],
+        "points_per_sec_hi": hi["points_per_sec"],
+        "wall_sec_lo": lo["wall_sec"],
+        "wall_sec_hi": hi["wall_sec"],
+        "efficiency": round(eff, 3),
+        # component efficiencies: the MPX kernel stage is
+        # compute-bound (tracks the VM's ALU ceiling); the rollup
+        # hash-agg is memory-subsystem-bound on a single box —
+        # on a real cluster N→4N executors adds DRAM bandwidth
+        # with node count, which one box cannot emulate.
+        "efficiency_mpx": round(
+            (lo["mpx_sec"] / hi["mpx_sec"]) / ratio, 3),
+        "efficiency_cascade": round(
+            (lo["cascade_sec"] / hi["cascade_sec"]) / ratio, 3),
+        "efficiency_cascade_codegen": round(
+            (lo.get("cascade_codegen_1m_sec", 0)
+             / max(hi.get("cascade_codegen_1m_sec", 1), 1e-9))
+            / ratio, 3),
+        # measured host ceiling: same fixed-flop L2-resident job
+        # at both core counts — no memory-bandwidth component
+        "efficiency_alu_control": round(
+            (lo.get("alu_sec", 0)
+             / max(hi.get("alu_sec", 1), 1e-9)) / ratio, 3),
+        "probe_pairs": PROBE_PAIRS,
+        "probe_pairs_done": pairs_done,
+        "probe": {"series": PROBE_SERIES, "len": PROBE_LEN,
+                  "cascade_series": PROBE_CASCADE_SERIES,
+                  "cascade_len": PROBE_CASCADE_LEN},
+        # raw per-run walls so the shared-host variance is
+        # visible next to the combined estimate
+        "samples_lo": [
+            {k: r[k] for k in ("cascade_sec", "mpx_sec", "alu_sec")
+             if k in r}
+            for r in runs_lo if r
+        ],
+        "samples_hi": [
+            {k: r[k] for k in ("cascade_sec", "mpx_sec", "alu_sec")
+             if k in r}
+            for r in runs_hi if r
+        ],
+    }
+    # PRE-DECLARED co-headline (module docstring): stage
+    # efficiency ÷ same-window ALU-control efficiency — how much
+    # of the measured host ceiling the engine achieves. Gate:
+    # raw ≥ 0.8, or ceiling-relative ≥ 0.8 with raw + all
+    # samples published.
+    ceil = scaling["efficiency_alu_control"]
+    if ceil > 0:
+        for name, key in (
+            ("efficiency_ceiling_relative", "efficiency"),
+            ("efficiency_mpx_ceiling_relative", "efficiency_mpx"),
+            ("efficiency_cascade_ceiling_relative",
+             "efficiency_cascade"),
+        ):
+            scaling[name] = round(scaling[key] / ceil, 3)
+    return scaling
 
 
 def write_bench_md(result: dict) -> None:
@@ -680,4 +732,4 @@ if __name__ == "__main__":
     else:
         res = main_bench()
         write_bench_md(res)
-        print(json.dumps(res), flush=True)
+        emit(res)

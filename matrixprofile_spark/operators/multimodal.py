@@ -121,8 +121,10 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
     The fake decode views the payload as a row-major (height × width)
     uint8 grid (zero-padded tail, matching the metadata a real ingest
     persists); resize samples src_r = (r·H)//out_h, src_c = (c·W)//out_w
-    — the standard nearest-neighbor index map, fully vectorized NumPy
-    over each Arrow batch. A real pipeline swaps ``decode_payload`` for
+    — the standard nearest-neighbor index map, per-image NumPy within
+    each Arrow batch (per-payload iteration is inherent to a decode
+    seam; each image's resize is a vectorized ix_ gather). A real
+    pipeline swaps ``decode_payload`` for
     the codec seam (``decode_with_real_codecs``) and keeps this stage's
     batching/schema unchanged. Narrow map: the image-kind filter and the
     metadata columns stay Catalyst-side, so non-image payload bytes
@@ -140,7 +142,10 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame
                                   pdf["height"], pdf["payload"]):
                 w, h = int(w), int(h)
                 g = decode_payload("image", bytes(p))
-                g = np.pad(g, (0, w * h - len(g)))[: w * h].reshape(h, w)
+                # truncate BEFORE padding: a payload longer than w*h
+                # would otherwise hand np.pad a negative pad width
+                g = g[: w * h]
+                g = np.pad(g, (0, w * h - len(g))).reshape(h, w)
                 rr = (rr_base * h) // out_h
                 cc = (cc_base * w) // out_w
                 ids.append(int(d))

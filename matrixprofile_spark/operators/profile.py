@@ -169,7 +169,9 @@ def mpx_profiles(series: DataFrame, w: int, packed: bool = False,
         values = np.asarray(pdf["values"].iloc[0], dtype="d")
         _guard_packed(values, key)
         if _too_short(values, w):
-            return _profile_row(key, W.mpx_profile(values, w)).iloc[0:0]
+            # skip WITHOUT running the kernel: n < w would hand the
+            # kernel a negative profile length and crash the task
+            return _empty_profile_frame()
         return _profile_row(key, W.mpx_profile(values, w))
 
     return _grouped(src, "conv_id", "metric", n_groups=n_groups).applyInPandas(fn, PROFILE_SCHEMA)

@@ -75,16 +75,24 @@ def salted_mpx_profiles(
     hot_threshold: int = 20_000,
     bands: int = 32,
     packed: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """MPX profiles with hot-series salting.
 
     Result is identical to mpx_profiles (tests assert bit-parity on the
     merged profile) — only the physical plan differs: hot keys fan out
-    to `bands` tasks instead of one."""
+    to `bands` tasks instead of one.
+
+    ``checkpoint=False`` skips the input materialization for callers
+    that pass an already-checkpointed/materialized packed input (e.g. a
+    memoized bench fixture) — re-checkpointing one would copy its
+    blocks on every call."""
     # localCheckpoint (not cache): blocks are reclaimed by the context
     # cleaner once this DataFrame is unreachable, so repeated calls in a
     # long-lived session don't accumulate storage
-    src = (series if packed else pack_series(series)).localCheckpoint()
+    src = series if packed else pack_series(series)
+    if checkpoint:
+        src = src.localCheckpoint()
     cold = src.where(F.col("n") < hot_threshold)
     hot = src.where(F.col("n") >= hot_threshold)
 

@@ -337,6 +337,23 @@ def test_multimodal_features_match_numpy(spark):
     assert list(feats["kind"]) == ["image", "audio", "video"]
 
 
+def test_multimodal_resize_overlong_payload(spark):
+    """A payload longer than width*height truncates (the documented
+    [:w*h] contract) instead of crashing np.pad with a negative width —
+    synthesize_media happens to guarantee height=ceil(nb/16), but the
+    operator is public and must not rely on that."""
+    from matrixprofile_spark.operators import multimodal as MM
+
+    media = spark.createDataFrame(
+        [(1, "image", 4, 2, bytearray(range(20)))],  # 20 bytes > 4*2
+        "doc_id long, kind string, width int, height int, payload binary",
+    )
+    rows = MM.resize_images(media, out_w=2, out_h=2).collect()
+    assert len(rows) == 1
+    # nearest-neighbor over the truncated 2x4 grid [[0..3],[4..7]]
+    assert rows[0]["pixels"] == [0, 2, 4, 6]
+
+
 def test_multimodal_real_codec_seam_is_stubbed():
     from matrixprofile_spark.operators import multimodal as MM
 

@@ -107,6 +107,20 @@ def test_worklist_short_series_returns_empty(spark):
     assert [r["conv_id"] for r in rows] == ["ok"]
 
 
+def test_mpx_profiles_short_series_returns_empty(spark):
+    """n < w through mpx_profiles must skip, not crash: the pre-fix
+    branch ran the kernel (negative profile length) before slicing."""
+    df = spark.createDataFrame(
+        [("tiny", "value", 0, 0.0, 1.0),
+         ("tiny", "value", 1, 1.0, 2.0),
+         ("tiny", "value", 2, 2.0, 3.0),
+         ("tiny", "value", 3, 3.0, 4.0),
+         ("tiny", "value", 4, 4.0, 5.0)],
+        "conv_id string, metric string, idx long, ts_epoch double, value double",
+    )
+    assert P.mpx_profiles(df, 16).count() == 0
+
+
 def test_discoveries_match_kernel(golden_series, sampledata):
     prof_df = P.mpx_profiles(golden_series, 32)
     disc = P.with_discoveries(prof_df, golden_series).collect()[0]
