@@ -439,20 +439,43 @@ def _q_regimes(spark, sf_dir):
 
 
 def _q_snippets(spark, sf_dir):
-    """Representative snippets (snippets.py:17-126). No DuckDB oracle:
-    each iteration takes an argmin over a FRACTION-of-total curve built
-    from the running elementwise minimum of all previously-picked
-    snippets' MPdist vectors — a data-dependent fixpoint over an
-    n×n/16 matrix with no closed SQL form (the suppression-CTE trick
-    used for motifs/discords needs a fixed number of scalar picks, not
-    a mutable matrix). Pinned instead by the golden test
-    (test_kernels.py: snippet indices 384/704 on the reference fixture)
-    and the rows-only driver check."""
+    """Representative snippets (snippets.py:17-126), HASH-CHECKED via
+    self-verifying invariants. The snippet VALUES have no closed SQL
+    form (each greedy iteration argmins a coverage curve built from the
+    running elementwise minimum of all previously-picked snippets'
+    MPdist vectors — a data-dependent fixpoint over an n×n/16 matrix),
+    so the values are pinned by goldens (test_kernels.py: indices
+    384/704 + the curve-level golden on the reference fixture) and this
+    query emits per-row INVARIANTS of the real output instead: every
+    snippet index is a multiple of snippet_size and in range, fractions
+    are valid and sum to exactly (padded−w+2)/(padded−w) per series —
+    the masks partition the padded−w+2 curve positions while the
+    reference's denominator is padded−w (snippets.py:108-124
+    bookkeeping, reproduced exactly) — and
+    neighbor counts are bounded by the window count. The oracle states
+    each invariant as literal TRUE over the chosen-conversation × rank
+    grid, so any violation — or a missing/extra snippet row — is a
+    driver hash mismatch, not a silent pass (the PreSCRIMP r4 trick)."""
     chosen = _chosen_token_series(spark, sf_dir)
-    return P.snippet_profiles(chosen, 32, window_size=16, packed=True, n_groups=5).select(
+    snip = P.snippet_profiles(chosen, 32, window_size=16, packed=True,
+                              n_groups=5)
+    sizes = chosen.select("conv_id", "metric", "n")
+    j = snip.join(F.broadcast(sizes), ["conv_id", "metric"])
+    # padded length = 32*ceil(n/32) (snippets.py zero-pad contract)
+    padded = (F.ceil(F.col("n") / 32) * 32).cast("long")
+    wconv = W.partitionBy("conv_id", "metric")
+    return j.select(
         "conv_id", "metric", F.col("rank").cast("bigint").alias("rank"),
-        "index", F.round("fraction", 6).alias("fraction_r6"),
-        "neighbor_count",
+        ((F.col("index") % 32) == 0).alias("index_aligned"),
+        ((F.col("index") >= 0)
+         & (F.col("index") + 32 <= padded)).alias("index_in_range"),
+        ((F.col("fraction") >= 0.0)
+         & (F.col("fraction") <= 1.0)).alias("fraction_in_01"),
+        (F.abs(F.sum("fraction").over(wconv)
+               - (padded - 30) / (padded - 32))
+         < 1e-9).alias("fractions_sum_complete"),
+        ((F.col("neighbor_count") >= 0)
+         & (F.col("neighbor_count") <= F.col("n"))).alias("neighbors_bounded"),
     )
 
 
@@ -692,29 +715,129 @@ def _q_moving_median_w8(spark, sf_dir):
 
 
 def _q_max_subsequence(spark, sf_dir):
-    """Per-series maximum_subsequence window search (skimp.py:246-384).
-    No DuckDB oracle: the doubling/refine loop CHOOSES each next window
-    from the previous iteration's correlation extremum, so the set of
-    windows ever evaluated is data-dependent — a faithful SQL twin would
-    need the full O(n³) corr tensor over every possible width. Covered
-    by the golden test (36/68 pinned on the reference fixture) and the
-    rows-only driver check."""
+    """Per-series maximum_subsequence window search (skimp.py:246-384),
+    HASH-CHECKED via self-verifying invariants. The returned window has
+    no closed SQL form (the doubling/refine loop CHOOSES each next
+    window from the previous iteration's correlation extremum — a
+    faithful twin would need the O(n³) corr tensor over every width),
+    so the VALUE is pinned by the golden test (36/68 on the reference
+    fixture) and this query emits invariants checked by FRESH kernel
+    runs inside each task: (a) the returned window sits on the refine
+    grid derived from an independently recomputed doubling base; (b)
+    the search stopped correctly — best corr at the returned window is
+    below threshold OR the window is the grid's 2×-base cap; (c) the
+    grid window just below it still correlates ≥ threshold. The oracle
+    states each as literal TRUE per chosen conversation, so a violation
+    is a driver hash mismatch (the PreSCRIMP r4 trick)."""
+    import numpy as np
+    import pandas as pd
+
+    from matrixprofile_spark.kernels.mpx import mpx_self_join
+
     chosen = _chosen_token_series(spark, sf_dir)
-    return P.max_subsequence_windows(chosen, threshold=0.95, packed=True, n_groups=5)
+    threshold = 0.95
+
+    def best_corr(values, w):
+        mp, _ = mpx_self_join(values, w, cross_correlation=True)
+        fin = mp[~np.isinf(mp)]
+        return float(np.max(fin)) if len(fin) else float("-inf")
+
+    def fn(key, pdf):
+        values = np.asarray(pdf["values"].iloc[0], dtype="d")
+        cols = ["conv_id", "metric", "in_refine_grid",
+                "stopped_below_threshold_or_cap", "prev_window_above_threshold"]
+        from matrixprofile_spark.kernels.skimp import (
+            NoSolutionPossible,
+            maximum_subsequence,
+        )
+
+        try:
+            uw = int(maximum_subsequence(values, threshold=threshold))
+        except NoSolutionPossible:
+            return pd.DataFrame(columns=cols).iloc[0:0]
+        # independent replay of the doubling phase to recover the base
+        n = len(values)
+        max_w, w, base = n // 2, 8, None
+        while w <= max_w:
+            if best_corr(values, w) < threshold:
+                break
+            base = w
+            w *= 2
+        if base is None:
+            grid = []
+        else:
+            grid = [int(np.floor((1.0 + s) * base))
+                    for s in np.arange(0.05, 1.0, 0.05)] + [2 * base]
+            grid = [g + 1 if g % 2 == 1 else g for g in grid]
+        in_grid = uw in grid
+        stop_ok = in_grid and (best_corr(values, uw) < threshold
+                               or uw == grid[-1])
+        k = grid.index(uw) if in_grid else -1
+        prev_w = base if k <= 0 else grid[k - 1]
+        prev_ok = in_grid and best_corr(values, int(prev_w)) >= threshold
+        return pd.DataFrame([{
+            "conv_id": key[0], "metric": key[1],
+            "in_refine_grid": bool(in_grid),
+            "stopped_below_threshold_or_cap": bool(stop_ok),
+            "prev_window_above_threshold": bool(prev_ok),
+        }])[cols]
+
+    return chosen.groupBy("conv_id", "metric").applyInPandas(
+        fn,
+        "conv_id string, metric string, in_refine_grid boolean, "
+        "stopped_below_threshold_or_cap boolean, "
+        "prev_window_above_threshold boolean",
+    )
 
 
 def _q_hcluster_assign(spark, sf_dir):
     """Hierarchical clustering of conversations by pairwise MPDist
-    (hierarchical_clustering.py:18-146). No DuckDB oracle: single-link
-    agglomeration is an m-step sequential merge where every step's
-    nearest-pair depends on all prior merges — expressible only as a
-    recursive query over a mutable forest, which DuckDB's RECURSIVE CTEs
-    cannot hash-match deterministically against scipy-style tie handling.
-    The linkage/fcluster kernels are unit-tested (duplicate-grouping
-    pinned) and the input pairwise_mpdist table is itself oracle-green."""
+    (hierarchical_clustering.py:18-146), HASH-CHECKED via self-verifying
+    invariants. The assignment VALUES have no closed SQL form
+    (single-link agglomeration is an m-step sequential merge where every
+    step's nearest-pair depends on all prior merges — a recursive query
+    over a mutable forest DuckDB cannot hash-match deterministically
+    against scipy-style tie handling); the linkage/fcluster kernels are
+    unit-tested (duplicate-grouping pinned) and the input
+    pairwise_mpdist table is itself oracle-green. This query emits one
+    row per input conversation with invariants of the real assignment:
+    every input series got exactly one label, labels are in [1, t],
+    maxclust t=2 yields between 1 and 2 clusters (scipy's maxclust
+    guarantee is ≤ t — tied merge heights legitimately collapse below
+    t, and this fixture's MPDists are all 0, which the oracle-green
+    pairwise_mpdist query independently confirms), and the globally
+    closest pair by MPDist shares a cluster (single linkage merges it
+    first). The oracle states each as
+    literal TRUE per chosen conversation, so a violation is a driver
+    hash mismatch (the PreSCRIMP r4 trick)."""
     chosen = _chosen_token_series(spark, sf_dir)
     pd_ = P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True)
-    return P.hierarchical_assignments(pd_, t=2, criterion="maxclust")
+    pairs = pd_.select("conv_id_a", "conv_id_b", "mpdist").collect()
+    assign = {
+        r["conv_id"]: r["cluster"]
+        for r in P.hierarchical_assignments(
+            pd_, t=2, criterion="maxclust").collect()
+    }
+    ids = sorted({p["conv_id_a"] for p in pairs}
+                 | {p["conv_id_b"] for p in pairs})
+    closest = min(pairs,
+                  key=lambda p: (p["mpdist"], p["conv_id_a"], p["conv_id_b"]))
+    complete = sorted(assign) == ids
+    n_clusters = len(set(assign.values()))
+    co_clustered = (complete
+                    and assign[closest["conv_id_a"]]
+                    == assign[closest["conv_id_b"]])
+    rows = [(c,
+             bool(complete),
+             bool(1 <= assign.get(c, 0) <= 2),
+             bool(1 <= n_clusters <= 2),
+             bool(co_clustered)) for c in ids]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, assignment_complete boolean, "
+        "cluster_in_range boolean, at_most_t_clusters boolean, "
+        "closest_pair_cofused boolean",
+    )
 
 
 def _q_mstomp_w16(spark, sf_dir):
@@ -1278,6 +1401,21 @@ SELECT conv_id, metric,
        min_by(value, ts_epoch) AS vfirst, max_by(value, ts_epoch) AS vlast
 FROM series WHERE value IS NOT NULL
 GROUP BY 1, 2, 3
+""".strip()
+
+
+# just the 5-conversation chosen set (no window stats): the base for
+# the r6 invariant oracles (snippets / max_subsequence / hcluster)
+_CHOSEN_ONLY_CTE = f"""
+transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, CAST(length(text) AS DOUBLE) AS value FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+)
 """.strip()
 
 
@@ -3323,6 +3461,33 @@ ORDER BY md ASC, conv_id ASC, first_idx ASC
 LIMIT 10
 """.strip()
     # the resumed memo store must equal the from-scratch sweep
+    # invariant oracles (r6): the three formerly rows-only queries emit
+    # self-verifying booleans over the chosen-conversation grid; the
+    # oracle states each invariant as literal TRUE, so a broken
+    # invariant is a hash mismatch even without a full SQL value twin
+    # (the values themselves are pinned by goldens — see each query's
+    # docstring for why no closed SQL form exists).
+    out["snippets"] = f"""
+WITH {_CHOSEN_ONLY_CTE}
+SELECT conv_id, 'token_count' AS metric, CAST(rk AS BIGINT) AS rank,
+       TRUE AS index_aligned, TRUE AS index_in_range,
+       TRUE AS fraction_in_01, TRUE AS fractions_sum_complete,
+       TRUE AS neighbors_bounded
+FROM chosen, range(0, 2) t(rk)
+""".strip()
+    out["max_subsequence"] = f"""
+WITH {_CHOSEN_ONLY_CTE}
+SELECT conv_id, 'token_count' AS metric,
+       TRUE AS in_refine_grid, TRUE AS stopped_below_threshold_or_cap,
+       TRUE AS prev_window_above_threshold
+FROM chosen
+""".strip()
+    out["hcluster_assign"] = f"""
+WITH {_CHOSEN_ONLY_CTE}
+SELECT conv_id, TRUE AS assignment_complete, TRUE AS cluster_in_range,
+       TRUE AS at_most_t_clusters, TRUE AS closest_pair_cofused
+FROM chosen
+""".strip()
     out["skimp_memo_resume"] = out["skimp_pmp"]
     # CSV round-trip must reproduce the generator table bit-for-bit
     out["transcripts_csv_roundtrip"] = out["transcripts"]
