@@ -329,14 +329,27 @@ def _q_motifs(spark, sf_dir):
 
 
 def _chosen_tier_series(spark, sf_dir, bucket_s: int, label: str,
-                        n_lo: int, n_hi: int = 400):
+                        n_lo: int, n_hi: int = 400, stretch: int = 1):
     """Packed mean series of the `bucket_s`-second rollup tier
     (vsum/cnt per bucket, gaps collapsed to a contiguous index) for up
     to 5 chosen conversations whose tier length is in [n_lo, n_hi] —
     the shared base of the per-tier discovery queries. Coarser tiers
     use a lower n_lo: only the hottest conversations span enough 1h
-    buckets to profile."""
+    buckets to profile.
+
+    ``stretch`` deterministically dilates event time around the fixture
+    epoch (ts' = 1600000000 + (ts − 1600000000)·stretch) — the 1d tier
+    needs it because the generator's horizon is ~6 days, so no real
+    conversation spans the ≥2w daily buckets an MPX profile needs; the
+    stretched fixture is the SAME portable arithmetic in the SQL twin,
+    and token_count values are ts-independent, so the oracle rebuilds
+    the identical tier series."""
     ser = _series(spark, sf_dir).where(F.col("metric") == "token_count")
+    if stretch != 1:
+        ser = ser.withColumn(
+            "ts_epoch",
+            F.lit(1600000000.0)
+            + (F.col("ts_epoch") - 1600000000.0) * stretch)
     tier = rollup.rollup_from_raw(ser, bucket_s)
     wnd = W.partitionBy("conv_id").orderBy("bucket_epoch")
     tier_series = tier.select(
@@ -352,14 +365,16 @@ def _chosen_tier_series(spark, sf_dir, bucket_s: int, label: str,
     )
 
 
-def _q_tier_discords(bucket_s: int, label: str, n_lo: int):
+def _q_tier_discords(bucket_s: int, label: str, n_lo: int,
+                     stretch: int = 1):
     """north_star alignment: discords surfaced per ROLLUP TIER — the MPX
     kernel runs over the tier's mean series, not over raw turns. The
     oracle rebuilds the identical tier series in SQL and brute-forces
     the w=8 profile + 3-round suppression argmax."""
 
     def q(spark, sf_dir):
-        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo)
+        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo,
+                                     stretch=stretch)
         prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
         disc = P.with_discoveries(prof, chosen, packed=True, n_groups=5)
         return disc.select(
@@ -372,14 +387,16 @@ def _q_tier_discords(bucket_s: int, label: str, n_lo: int):
     return q
 
 
-def _q_tier_motifs(bucket_s: int, label: str, n_lo: int):
+def _q_tier_motifs(bucket_s: int, label: str, n_lo: int,
+                   stretch: int = 1):
     """north_star alignment, motif half: top-3 motif pairs surfaced per
     ROLLUP TIER — the same tier mean series as _q_tier_discords, run
     through the full motif-discovery chain at w=8. The oracle is the
     parameterized suppression-CTE motifs twin over the tier CTE."""
 
     def q(spark, sf_dir):
-        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo)
+        chosen = _chosen_tier_series(spark, sf_dir, bucket_s, label, n_lo,
+                                     stretch=stretch)
         prof = P.mpx_profiles(chosen, 8, packed=True, n_groups=5)
         disc = P.with_discoveries(prof, chosen, packed=True, zero_eps=1e-4,
                                   n_groups=5)
@@ -1315,8 +1332,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "tier_discords_1m": _q_tier_discords(60, "token_count_1m", 64),
         "tier_discords_1h": _q_tier_discords(3600, "token_count_1h", 24),
+        "tier_discords_1d": _q_tier_discords(86400, "token_count_1d", 16,
+                                             stretch=200),
         "tier_motifs_1m": _q_tier_motifs(60, "token_count_1m", 64),
         "tier_motifs_1h": _q_tier_motifs(3600, "token_count_1h", 24),
+        "tier_motifs_1d": _q_tier_motifs(86400, "token_count_1d", 16,
+                                         stretch=200),
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -1451,16 +1472,21 @@ sub AS (SELECT conv_id, i, mu, sig FROM st WHERE cnt = {_MPX_W})
 
 
 def _tier_cte(w: int, stats: str, bucket_s: int = 60, n_lo: int = 64,
-              n_hi: int = 400) -> str:
+              n_hi: int = 400, stretch: int = 1) -> str:
     """A rollup-tier mean series (same construction as the tier_discords
     oracles: token_count per-bucket vsum/cnt, gaps collapsed to a
     contiguous index, 5 chosen conversations with tier length in
     [n_lo, n_hi]) as a CTE base for the parameterized motifs oracle —
-    defines `r` plus the `stats` window-stats CTE for width w."""
+    defines `r` plus the `stats` window-stats CTE for width w.
+    ``stretch`` replays the same deterministic time dilation as
+    _chosen_tier_series (the 1d-tier fixture)."""
+    ts_expr = ("ts_epoch" if stretch == 1
+               else f"1600000000.0 + (ts_epoch - 1600000000.0) * {stretch}")
     return f"""
 transcripts AS ({_T}),
 tokt AS (
-  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
+  SELECT conv_id, {ts_expr} AS ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value
   FROM transcripts
 ),
 rtt AS (
@@ -1488,7 +1514,7 @@ r AS (SELECT t.conv_id, t.i, t.value FROM tsert t JOIN chosent USING (conv_id)),
 
 
 def _tier_discords_oracle_sql(bucket_s: int, label: str, n_lo: int,
-                              n_hi: int = 400) -> str:
+                              n_hi: int = 400, stretch: int = 1) -> str:
     """DuckDB twin of the per-tier discords query: rebuild the
     `bucket_s`-second rollup tier's mean series (the shared _tier_cte —
     gaps collapsed to a contiguous index, 5 chosen conversations with
@@ -1496,7 +1522,8 @@ def _tier_discords_oracle_sql(bucket_s: int, label: str, n_lo: int,
     per-diagonal window-sum MPX block, then apply 3 suppression rounds
     with ez=2."""
     return f"""
-WITH {_tier_cte(8, "st8t", bucket_s=bucket_s, n_lo=n_lo, n_hi=n_hi)},
+WITH {_tier_cte(8, "st8t", bucket_s=bucket_s, n_lo=n_lo, n_hi=n_hi,
+                stretch=stretch)},
 {_mpx_block_sql(8, "st8t", "t1")},
 mp AS MATERIALIZED (
   SELECT conv_id, i AS idx, sqrt(2 * 8 * (1 - least(max(c), 1.0))) AS dist
@@ -3015,6 +3042,8 @@ SELECT conv_id, 'token_count' AS metric, CAST(2 AS BIGINT) AS rank, idx FROM p3
             60, "token_count_1m", 64),
         "tier_discords_1h": _tier_discords_oracle_sql(
             3600, "token_count_1h", 24),
+        "tier_discords_1d": _tier_discords_oracle_sql(
+            86400, "token_count_1d", 16, stretch=200),
         "regimes": f"""
 WITH {_CHOSEN_CTE},
 prrg AS (
@@ -3450,6 +3479,10 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     out["tier_motifs_1h"] = _motifs_oracle_sql(
         base_cte=_tier_cte(8, "subt", bucket_s=3600, n_lo=24), w=8,
         metric="token_count_1h", stats="subt")
+    out["tier_motifs_1d"] = _motifs_oracle_sql(
+        base_cte=_tier_cte(8, "subt", bucket_s=86400, n_lo=16,
+                           stretch=200), w=8,
+        metric="token_count_1d", stats="subt")
     out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
     # global motif twin: the per-conv suppression chain with each pick's
     # distance surfaced, re-ranked globally (unrounded md orders, the
