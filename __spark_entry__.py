@@ -445,6 +445,41 @@ def _q_global_motifs(spark, sf_dir):
     )
 
 
+def _q_analyze_w16(spark, sf_dir):
+    """The reference's full `analyze` workflow end-to-end as ONE
+    DataFrame (analyze.py:87-125 exact path): compute (MPX profile) →
+    top-3 motifs → top-3 discords, composed through the facade
+    (plans/compute.analyze → with_discoveries) and flattened in a
+    single Catalyst projection (one concat of per-row transform arrays,
+    one explode — the discovery kernel runs once). The oracle is the
+    union of the motif and discord suppression-CTE twins."""
+    from matrixprofile_spark.plans import compute as C
+
+    chosen = _chosen_token_series(spark, sf_dir)
+    pts = chosen.select(
+        "conv_id", "metric", F.posexplode("values").alias("idx", "value"))
+    ana = C.analyze(pts, windows=_MPX_W, zero_eps=1e-4)
+    null_l = F.lit(None).cast("bigint")
+    mot = F.transform(
+        "motif_pairs",
+        lambda p, i: F.struct(
+            F.lit("motif").alias("kind"),
+            i.cast("bigint").alias("rank"),
+            p.getItem(0).cast("bigint").alias("first_idx"),
+            p.getItem(1).cast("bigint").alias("second_idx")))
+    dis = F.transform(
+        "discords",
+        lambda d, i: F.struct(
+            F.lit("discord").alias("kind"),
+            i.cast("bigint").alias("rank"),
+            d.cast("bigint").alias("first_idx"),
+            null_l.alias("second_idx")))
+    return ana.select(
+        "conv_id", "metric", F.explode(F.concat(mot, dis)).alias("x")
+    ).select("conv_id", "metric", "x.kind", "x.rank", "x.first_idx",
+             "x.second_idx")
+
+
 def _q_regimes(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
@@ -1338,6 +1373,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_motifs_1h": _q_tier_motifs(3600, "token_count_1h", 24),
         "tier_motifs_1d": _q_tier_motifs(86400, "token_count_1d", 16,
                                          stretch=200),
+        "analyze_w16": _q_analyze_w16,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
@@ -3484,6 +3520,16 @@ WHERE bucket_epoch < now - {_KEEP_1H}
                            stretch=200), w=8,
         metric="token_count_1d", stats="subt")
     out["pmp_motifs_top3"] = _pmp_motifs_oracle_sql()
+    # analyze = compute -> motifs -> discords in one action: the oracle
+    # is the union of the two suppression-CTE twins
+    out["analyze_w16"] = f"""
+SELECT conv_id, metric, 'motif' AS kind, rank, first_idx, second_idx
+FROM ({out["motifs_top3"]})
+UNION ALL
+SELECT conv_id, metric, 'discord' AS kind, rank, idx AS first_idx,
+       CAST(NULL AS BIGINT) AS second_idx
+FROM ({out["discords_top3"]})
+""".strip()
     # global motif twin: the per-conv suppression chain with each pick's
     # distance surfaced, re-ranked globally (unrounded md orders, the
     # published column rounds)

@@ -53,13 +53,15 @@ def analyze(
     k_motifs: int = 3,
     k_discords: int = 3,
     seed: int = 0,
+    zero_eps: float | None = None,
 ) -> DataFrame:
     """compute + motifs + discords appended as array<struct> columns.
 
     Parity: analyze.py:87-125 (exact path). Plotting (visualize.py) is out
-    of engine scope; use .toPandas() downstream.
-    """
+    of engine scope; use .toPandas() downstream. zero_eps passes through
+    to the motif argmin clamp (kernels.discover.top_k_motifs)."""
     from matrixprofile_spark.operators import profile as P
 
     prof = compute(series, windows=windows, sample_pct=sample_pct, seed=seed)
-    return P.with_discoveries(prof, series, k_motifs=k_motifs, k_discords=k_discords)
+    return P.with_discoveries(prof, series, k_motifs=k_motifs,
+                              k_discords=k_discords, zero_eps=zero_eps)
