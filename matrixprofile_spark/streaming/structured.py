@@ -178,8 +178,9 @@ def stream_mpx_incremental(
     forever, so once pending exceeds ``max_pending`` the hole is declared
     lost and LOCF-filled (the engine's gapfill_locf policy; a leading
     hole with no prior observation backfills from the next one, NOCB) up
-    to the next pending index, and an audit row (idx = -1, dist = points
-    filled so far) is emitted for the series. The complete-drain oracle
+    to the next pending index, and an explicitly marked audit row
+    (is_audit = TRUE, idx = -1, dist = points filled so far — a count,
+    not a distance) is emitted for the series. The complete-drain oracle
     never triggers the cap, so its exact-match contract is unchanged. At
     scale the sink would be an upsert store keyed by (conv_id, idx)
     instead of the in-memory snapshot table used for validation here.
@@ -188,7 +189,8 @@ def stream_mpx_incremental(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    out_schema = "conv_id string, idx long, dist double, upd int"
+    out_schema = ("conv_id string, idx long, dist double, upd int, "
+                  "is_audit boolean")
     state_schema = (
         "pend_idx array<long>, pend_val array<double>, "
         "vals array<double>, cmax array<double>, upd int, filled long"
@@ -260,9 +262,16 @@ def stream_mpx_incremental(
         have = prof > NEG
         idx = np.arange(len(prof), dtype="int64")[have]
         dist = np.sqrt(2.0 * w * (1.0 - np.minimum(prof[have], 1.0)))
-        if filled:  # audit row: idx=-1 marks a gap-filled series
+        is_audit = np.zeros(len(idx), dtype=bool)
+        if filled:
+            # audit row, explicitly marked (is_audit=True): idx=-1,
+            # dist = points LOCF-filled so far — a COUNT, not a
+            # distance; the marker keeps consumers reading
+            # spark.table(query_name) from misreading overloaded
+            # idx/dist semantics
             idx = np.concatenate(([-1], idx))
             dist = np.concatenate(([float(filled)], dist))
+            is_audit = np.concatenate(([True], is_audit))
         if not len(idx):  # nothing discoverable yet this batch
             return
         yield pd.DataFrame({
@@ -270,6 +279,7 @@ def stream_mpx_incremental(
             "idx": idx,
             "dist": dist,
             "upd": np.full(len(idx), upd, dtype="int64"),
+            "is_audit": is_audit,
         })
 
     src = (
@@ -309,12 +319,12 @@ def stream_mpx_incremental(
             shutil.rmtree(ckpt, ignore_errors=True)
     all_snaps = spark.table(query_name)
     wnd = Window.partitionBy("conv_id", "idx").orderBy(F.desc("upd"))
-    # idx = -1 rows are gap-fill audits (see docstring), surfaced via
+    # is_audit rows are gap-fill audits (see docstring), surfaced via
     # spark.table(query_name), not mixed into the profile result
     return (
         all_snaps.withColumn("_rn", F.row_number().over(wnd))
         .where(F.col("_rn") == 1)
-        .where(F.col("idx") >= 0)
+        .where(~F.col("is_audit"))
         .select("conv_id", "idx", "dist")
     )
 
