@@ -208,6 +208,54 @@ def _q_gapfill_window_mean(spark, sf_dir):
                       F.round("value", 6).alias("value_r6"))
 
 
+def _q_gapfill_interp(spark, sf_dir):
+    """Linear-interpolation fill over the densified token grid: each
+    NULL takes the straight line between the bracketing observations
+    (one-sided holes fall back to LOCF/NOCB)."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    out = gapfill.fill_interp(gapfill.to_grid(tok, 60))
+    return out.select("conv_id", "metric", "ts_epoch",
+                      F.round("value", 6).alias("value_r6"))
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-threshold sessionization: one row per maximal run of turns
+    with inter-turn gaps <= 180 s."""
+    from matrixprofile_spark.operators import temporal as T
+
+    return T.sessionize(_transcripts(spark, sf_dir), gap_s=180)
+
+
+def _q_asof_tool_context(spark, sf_dir):
+    """As-of join: each tool turn matched to the most recent assistant
+    turn at-or-before it in the same conversation (union-merge shape,
+    no range-join blow-up); wait_s = how stale that context was."""
+    from matrixprofile_spark.operators import temporal as T
+
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "tool").select(
+        "conv_id", "turn_idx", "ts_epoch")
+    right = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts_epoch")
+    out = T.asof_join(left, right, keys=["conv_id"], ts_col="ts_epoch",
+                      payload_cols=["turn_idx"])
+    return out.select(
+        "conv_id", "turn_idx", "ts_epoch", "turn_idx_r", "ts_epoch_r",
+        (F.col("ts_epoch") - F.col("ts_epoch_r")).alias("wait_s"))
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup (the brief's third dedup family):
+    rare-shingle blocking (df <= 20) bounds candidate fan-out, then
+    exact Jaccard over the full trigram sets, keep >= 0.5."""
+    from matrixprofile_spark.operators import dedup as DD
+
+    return DD.rare_shingle_pairs(
+        _doc_corpus(spark, sf_dir), n=3, threshold=0.5,
+        max_shingle_freq=20,
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1355,6 +1403,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_window_mean": _q_gapfill_window_mean,
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_sequential": _q_gapfill_sequential,
+        "gapfill_interp": _q_gapfill_interp,
+        "sessionize": _q_sessionize,
+        "asof_tool_context": _q_asof_tool_context,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
         "cascade_fused": _q_cascade_fused,
@@ -3374,6 +3426,117 @@ SELECT conv_id, metric, ts_epoch,
          (PARTITION BY conv_id, metric ORDER BY ts_epoch
           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 6) AS value_r6
 FROM j
+""".strip(),
+        "gapfill_interp": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+b AS (
+  SELECT conv_id, metric, CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS ts_epoch,
+         sum(value) / count(value) AS value
+  FROM tok GROUP BY 1, 2, 3
+),
+spans AS (
+  SELECT conv_id, metric, min(ts_epoch) AS t0, max(ts_epoch) AS t1
+  FROM b GROUP BY 1, 2
+),
+grid AS (
+  SELECT conv_id, metric,
+         unnest(generate_series(t0, t1, 60)) AS ts_epoch
+  FROM spans
+),
+j AS (
+  SELECT g.conv_id, g.metric, g.ts_epoch, b.value
+  FROM grid g LEFT JOIN b USING (conv_id, metric, ts_epoch)
+),
+m AS (
+  SELECT conv_id, metric, ts_epoch, value,
+    last_value(CASE WHEN value IS NOT NULL THEN ts_epoch END IGNORE NULLS)
+      OVER wb AS t0,
+    last_value(value IGNORE NULLS) OVER wb AS v0,
+    first_value(CASE WHEN value IS NOT NULL THEN ts_epoch END IGNORE NULLS)
+      OVER wa AS t1,
+    first_value(value IGNORE NULLS) OVER wa AS v1
+  FROM j
+  WINDOW wb AS (PARTITION BY conv_id, metric ORDER BY ts_epoch
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY conv_id, metric ORDER BY ts_epoch
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, metric, ts_epoch,
+  round(coalesce(value,
+    CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 <> t0
+         THEN v0 + (v1 - v0) * (ts_epoch - t0) / (t1 - t0)
+         ELSE coalesce(v0, v1) END), 6) AS value_r6
+FROM m
+""".strip(),
+        "sessionize": f"""
+WITH transcripts AS ({_T}),
+f AS (
+  SELECT conv_id, turn_idx, ts_epoch,
+    CASE WHEN ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) > 180
+         THEN 1 ELSE 0 END AS newf
+  FROM transcripts
+),
+s AS (
+  SELECT conv_id, ts_epoch,
+    CAST(sum(newf) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_idx
+  FROM f
+)
+SELECT conv_id, session_idx,
+       min(ts_epoch) AS start_ts, max(ts_epoch) AS end_ts,
+       count(*) AS n_turns,
+       max(ts_epoch) - min(ts_epoch) AS span_s
+FROM s GROUP BY 1, 2
+""".strip(),
+        "asof_tool_context": f"""
+WITH transcripts AS ({_T}),
+l AS (SELECT conv_id, turn_idx, ts_epoch FROM transcripts
+      WHERE role = 'tool'),
+r0 AS (SELECT conv_id, ts_epoch, max(turn_idx) AS turn_idx
+       FROM transcripts WHERE role = 'assistant' GROUP BY 1, 2)
+SELECT l.conv_id, l.turn_idx, l.ts_epoch,
+       r0.turn_idx AS turn_idx_r, r0.ts_epoch AS ts_epoch_r,
+       l.ts_epoch - r0.ts_epoch AS wait_s
+FROM l ASOF LEFT JOIN r0
+  ON l.conv_id = r0.conv_id AND l.ts_epoch >= r0.ts_epoch
+""".strip(),
+        "dedup_ngram_jaccard": f"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT id,
+    unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS shingle
+  FROM toks
+),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+rare AS (SELECT s.id, s.shingle FROM sh s JOIN freq f USING (shingle)
+         WHERE f.df <= 20),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.id = p.id_a
+  JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r6
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """.strip(),
         # exact sequential window-mean fill: a recursive CTE carries each
         # series as a list and applies the kernel's position-by-position

@@ -217,3 +217,66 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
         term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("id", sim.cast("bigint").alias("simhash"))
+
+
+def rare_shingle_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_shingle_freq: int = 50, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup WITHOUT hashing: blocking on rare
+    shingles, then exact Jaccard over the full shingle sets.
+
+    The brief's third dedup family (exact / MinHash-LSH / n-gram
+    Jaccard): MinHash answers "probably similar" with a signature;
+    this answers "provably Jaccard ≥ t" and costs one more pass over
+    the shingles. Candidate pairs are documents sharing at least one
+    RARE shingle — global document frequency ≤ ``max_shingle_freq`` —
+    which bounds fan-out the way lsh_candidate_pairs' max_bucket does:
+    a shingle seen in f docs emits ≤ f(f-1)/2 candidates, so no
+    boilerplate phrase can go quadratic, and the frequency cut uses
+    the same window-over-the-join-key trick (one exchange keyed on
+    shingle feeds both the frequency count and the self-join).
+    Recall note: a true near-dup ALL of whose shared shingles are
+    globally frequent is missed — at n=3 a shared frequent trigram
+    set means shared boilerplate, which exact_dedup's md5 pass or one
+    representative per hot shingle covers; audit what the cut skipped
+    with ``hot_shingles``. Exact Jaccard then reuses jaccard_pairs
+    (per-doc collect_set + in-row array_intersect, codegen).
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n, id_col, text_col, distinct=True)
+    wf = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("df", F.count(F.lit(1)).over(wf))
+        .where(F.col("df") <= max_shingle_freq)
+        .drop("df")
+    )
+    a = rare.alias("a")
+    b = rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_pairs(sh, cand).where(F.col("jaccard") >= threshold)
+
+
+def hot_shingles(
+    docs: DataFrame, n: int = 3, max_shingle_freq: int = 50,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(shingle, n_docs) for shingles rare_shingle_pairs' frequency cut
+    excluded from candidate generation — the audit twin, same contract
+    as hot_lsh_buckets."""
+    return (
+        shingles(docs, n, id_col, text_col, distinct=True)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > max_shingle_freq)
+    )

@@ -185,3 +185,36 @@ def fill_window_stat(
     return grid.select(
         "conv_id", "metric", "ts_epoch", F.coalesce(v, stat).alias("value")
     )
+
+
+def fill_interp(grid: DataFrame) -> DataFrame:
+    """Linear-interpolation fill of NULL grid points (the `interpolate`
+    companion to LOCF that every gap-fill surface grows next — public
+    TimescaleDB/InfluxDB semantics): each NULL takes the straight line
+    between the previous and next observed grid values,
+
+        v = v0 + (v1 - v0) * (t - t0) / (t1 - t0).
+
+    Leading/trailing holes (no observation on one side) fall back to
+    the one-sided neighbor (LOCF / NOCB), so the output is total like
+    fill_locf. One window pass: both one-sided frames share the same
+    (conv_id, metric) × ts_epoch sort, so Spark plans a single exchange
+    + sort and evaluates all four running expressions in it — no join,
+    nothing scans the grid twice.
+    """
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    before = w.rowsBetween(Window.unboundedPreceding, 0)
+    after = w.rowsBetween(0, Window.unboundedFollowing)
+    obs_ts = F.when(F.col("value").isNotNull(), F.col("ts_epoch"))
+    t0 = F.last(obs_ts, ignorenulls=True).over(before)
+    v0 = F.last("value", ignorenulls=True).over(before)
+    t1 = F.first(obs_ts, ignorenulls=True).over(after)
+    v1 = F.first("value", ignorenulls=True).over(after)
+    interp = F.when(
+        t0.isNotNull() & t1.isNotNull() & (t1 != t0),
+        v0 + (v1 - v0) * (F.col("ts_epoch") - t0) / (t1 - t0),
+    ).otherwise(F.coalesce(v0, v1))
+    return grid.select(
+        "conv_id", "metric", "ts_epoch",
+        F.coalesce(F.col("value"), interp).alias("value"),
+    )

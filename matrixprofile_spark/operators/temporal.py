@@ -1,0 +1,133 @@
+"""Temporal joins and session detection over transcript streams.
+
+Two operators every time-series store grows once series live in tables
+rather than arrays (public kdb/QuestDB/TimescaleDB surface; the
+reference's bare-array model has no table joins at all):
+
+- ``asof_join`` — for each left row, the single right row with the
+  greatest timestamp at-or-before (backward) / least at-or-after
+  (forward) the left timestamp, per key.
+- ``sessionize`` — split each conversation's turns into sessions
+  wherever the inter-turn gap exceeds a threshold, and aggregate one
+  row per session.
+
+Both are pure DataFrame ops. The as-of join deliberately avoids the
+naive range join (``l.ts >= r.ts`` non-equi join explodes to the full
+per-key cross product before the per-row max — quadratic in points per
+key at 100 TB). Instead it uses the union-merge shape: tag both sides,
+union, one window pass ordered by (ts, side) carries the most recent
+right payload forward onto every left row. Cost = one shuffle of
+|L|+|R| rows keyed by the join keys + one sort — the same exchange a
+sort-merge join would pay, with no candidate blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts_epoch",
+    payload_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the matching right row's
+    ``payload_cols`` (renamed with ``suffix``) and its timestamp as
+    ``<ts_col><suffix>``; NULLs where no right row exists on that side.
+
+    Ties: several right rows on one (key, ts) would make the match
+    nondeterministic (DuckDB's ASOF JOIN documents the same hazard),
+    so the right side is first reduced to one row per (key, ts) by
+    max_by(payload, tiebreak) — callers needing a different survivor
+    pre-aggregate themselves. ``direction='backward'`` matches the
+    greatest right ts <= left ts; ``'forward'`` the least >=.
+    """
+    if payload_cols is None:
+        payload_cols = [
+            c for c in right.columns if c not in (*keys, ts_col)
+        ]
+    # one row per (key, ts): deterministic survivor = max over the
+    # payload struct (lexicographic struct comparison)
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    r1 = right.groupBy(*keys, ts_col).agg(F.max(pay).alias("__pay"))
+
+    lside = left.withColumn("__is_left", F.lit(1)).withColumn(
+        "__pay", F.lit(None).cast(r1.schema["__pay"].dataType)
+    ).withColumn("__rts", F.lit(None).cast("bigint"))
+    rside = r1.select(
+        *keys,
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (*keys, ts_col)],
+        F.lit(0).alias("__is_left"),
+        "__pay",
+        F.col(ts_col).cast("bigint").alias("__rts"),
+    ).select(*lside.columns)
+
+    # backward: right rows sort BEFORE left rows at equal ts (side 0<1)
+    # so "at-or-before" includes the same instant; forward mirrors.
+    if direction == "backward":
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).asc(), F.col("__is_left").asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        carried_pay = F.last("__pay", ignorenulls=True).over(w)
+        carried_ts = F.last("__rts", ignorenulls=True).over(w)
+    elif direction == "forward":
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).asc(), F.col("__is_left").desc()
+        ).rowsBetween(0, Window.unboundedFollowing)
+        carried_pay = F.first("__pay", ignorenulls=True).over(w)
+        carried_ts = F.first("__rts", ignorenulls=True).over(w)
+    else:
+        raise ValueError(f"invalid asof direction: {direction}")
+
+    merged = lside.unionByName(rside).select(
+        "*", carried_pay.alias("__m"), carried_ts.alias(f"{ts_col}{suffix}")
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in payload_cols
+    ] + [F.col(f"{ts_col}{suffix}")]
+    return merged.where(F.col("__is_left") == 1).select(*out_cols)
+
+
+def sessionize(
+    transcripts: DataFrame, gap_s: int = 300
+) -> DataFrame:
+    """One row per session: a maximal run of turns in a conversation
+    with inter-turn gaps <= gap_s (classic event sessionization;
+    Structured Streaming's stateful flavor lives in streaming/, this is
+    the batch table op).
+
+    Output: conv_id, session_idx (0-based per conversation),
+    start_ts, end_ts, n_turns, span_s. Two window passes over ONE
+    (conv_id × turn order) sort — the lag flag and its running sum
+    share the exchange — then the session groupBy.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gap = F.col("ts_epoch") - F.lag("ts_epoch").over(w)
+    flagged = transcripts.select(
+        "conv_id", "turn_idx", "ts_epoch",
+        F.when(gap > gap_s, 1).otherwise(0).alias("__new"),
+    ).select(
+        "conv_id", "ts_epoch",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_idx"),
+    )
+    return (
+        flagged.groupBy("conv_id", "session_idx")
+        .agg(
+            F.min("ts_epoch").alias("start_ts"),
+            F.max("ts_epoch").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .select(
+            "conv_id", "session_idx", "start_ts", "end_ts", "n_turns",
+            (F.col("end_ts") - F.col("start_ts")).alias("span_s"),
+        )
+    )

@@ -1,0 +1,129 @@
+"""Unit tests for the round-6 temporal operators: linear-interpolation
+gap-fill, as-of join, sessionization, and n-gram-Jaccard dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from matrixprofile_spark.operators import dedup as DD
+from matrixprofile_spark.operators import gapfill
+from matrixprofile_spark.operators import temporal as T
+
+
+def test_fill_interp_linear_between_observations(spark):
+    # observed at t=0 (v=0) and t=180 (v=6); grid step 60 → the two
+    # interior NULLs must land on the straight line: 2.0 and 4.0
+    grid = spark.createDataFrame(
+        [("c", "m", 0, 0.0), ("c", "m", 60, None),
+         ("c", "m", 120, None), ("c", "m", 180, 6.0)],
+        "conv_id string, metric string, ts_epoch long, value double",
+    )
+    out = {r.ts_epoch: r.value
+           for r in gapfill.fill_interp(grid).collect()}
+    assert out == {0: 0.0, 60: 2.0, 120: 4.0, 180: 6.0}
+
+
+def test_fill_interp_one_sided_holes_fall_back(spark):
+    # leading hole has no left bracket → NOCB; trailing hole → LOCF
+    grid = spark.createDataFrame(
+        [("c", "m", 0, None), ("c", "m", 60, 5.0), ("c", "m", 120, None)],
+        "conv_id string, metric string, ts_epoch long, value double",
+    )
+    out = {r.ts_epoch: r.value
+           for r in gapfill.fill_interp(grid).collect()}
+    assert out == {0: 5.0, 60: 5.0, 120: 5.0}
+
+
+def test_asof_join_backward_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [("c", 1, 100), ("c", 2, 250), ("c", 3, 50)],
+        "conv_id string, turn_idx long, ts_epoch long",
+    )
+    right = spark.createDataFrame(
+        [("c", 10, 100), ("c", 11, 200), ("c", 12, 300)],
+        "conv_id string, turn_idx long, ts_epoch long",
+    )
+    out = {r.turn_idx: (r.turn_idx_r, r.ts_epoch_r)
+           for r in T.asof_join(left, right, ["conv_id"]).collect()}
+    # ts=100 matches the SAME instant (at-or-before); ts=250 the 200
+    # point; ts=50 has nothing before it → NULLs
+    assert out == {1: (10, 100), 2: (11, 200), 3: (None, None)}
+
+
+def test_asof_join_tie_survivor_is_max_payload(spark):
+    left = spark.createDataFrame(
+        [("c", 1, 100)], "conv_id string, turn_idx long, ts_epoch long")
+    right = spark.createDataFrame(
+        [("c", 7, 100), ("c", 9, 100)],
+        "conv_id string, turn_idx long, ts_epoch long",
+    )
+    [row] = T.asof_join(left, right, ["conv_id"]).collect()
+    assert row.turn_idx_r == 9  # deterministic: max payload per (key, ts)
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [("c", 1, 150)], "conv_id string, turn_idx long, ts_epoch long")
+    right = spark.createDataFrame(
+        [("c", 5, 100), ("c", 6, 200)],
+        "conv_id string, turn_idx long, ts_epoch long",
+    )
+    [row] = T.asof_join(left, right, ["conv_id"],
+                        direction="forward").collect()
+    assert (row.turn_idx_r, row.ts_epoch_r) == (6, 200)
+
+
+def test_sessionize_splits_on_gap(spark):
+    rows = [("c", i, ts) for i, ts in
+            enumerate([0, 10, 20, 400, 410, 900])]  # gaps 380 and 490
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, ts_epoch long")
+    out = sorted((r.session_idx, r.start_ts, r.end_ts, r.n_turns, r.span_s)
+                 for r in T.sessionize(t, gap_s=180).collect())
+    assert out == [(0, 0, 20, 3, 20), (1, 400, 410, 2, 10), (2, 900, 900, 1, 0)]
+
+
+def test_rare_shingle_pairs_finds_near_dup_and_bounds_fanout(spark):
+    words = [f"w{i}" for i in range(30)]
+    a = " ".join(words)
+    b = " ".join(words[:-1])          # near-dup of a (last word dropped)
+    boiler = "the same three words " * 8
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)] + [(10 + i, boiler.strip()) for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = DD.rare_shingle_pairs(docs, n=3, threshold=0.5,
+                                max_shingle_freq=3).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert set(pairs) == {(1, 2)}  # boilerplate clones blocked by the
+    # frequency cut (df=6 > 3) — no quadratic candidate fan-out
+    expect = 27 / 28  # a: 28 trigrams, b: 27 (all shared) → |A∪B|=28
+    assert abs(pairs[(1, 2)] - expect) < 1e-9
+    hot = DD.hot_shingles(docs, n=3, max_shingle_freq=3).collect()
+    assert all(r.n_docs == 6 for r in hot) and len(hot) > 0
+
+
+def test_rare_shingle_pairs_matches_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=25)) for _ in range(12)]
+    texts += [texts[0].rsplit(" ", 1)[0], texts[3] + " extra"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {(r.id_a, r.id_b): round(r.jaccard, 9)
+           for r in DD.rare_shingle_pairs(
+               docs, n=3, threshold=0.4, max_shingle_freq=100).collect()}
+
+    def sh(t):
+        tok = t.split(" ")
+        return {" ".join(tok[i:i + 3]) for i in range(len(tok) - 2)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            A, B = sh(texts[i]), sh(texts[j])
+            jac = len(A & B) / len(A | B)
+            if jac >= 0.4 and A & B:
+                want[(i, j)] = round(jac, 9)
+    assert got == want
