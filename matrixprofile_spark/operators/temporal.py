@@ -41,20 +41,22 @@ def asof_join(
     ``<ts_col><suffix>``; NULLs where no right row exists on that side.
 
     Ties: several right rows on one (key, ts) would make the match
-    nondeterministic (DuckDB's ASOF JOIN documents the same hazard),
-    so the right side is first reduced to one row per (key, ts) by
-    max_by(payload, tiebreak) — callers needing a different survivor
-    pre-aggregate themselves. ``direction='backward'`` matches the
-    greatest right ts <= left ts; ``'forward'`` the least >=.
+    nondeterministic (DuckDB's ASOF JOIN documents the same hazard);
+    here the survivor is pinned INSIDE the window ordering — among
+    equal-(key, ts) right rows the one with the greatest payload struct
+    sorts adjacent to the left row, so the carried value is the
+    lexicographic-max payload, deterministically, without the
+    one-row-per-(key, ts) pre-aggregate (and its extra exchange) a
+    groupBy dedup would cost. Payload columns must therefore be
+    orderable types. ``direction='backward'`` matches the greatest
+    right ts <= left ts; ``'forward'`` the least >=.
     """
     if payload_cols is None:
         payload_cols = [
             c for c in right.columns if c not in (*keys, ts_col)
         ]
-    # one row per (key, ts): deterministic survivor = max over the
-    # payload struct (lexicographic struct comparison)
     pay = F.struct(*[F.col(c) for c in payload_cols])
-    r1 = right.groupBy(*keys, ts_col).agg(F.max(pay).alias("__pay"))
+    r1 = right.select(*keys, F.col(ts_col), pay.alias("__pay"))
 
     lside = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__pay", F.lit(None).cast(r1.schema["__pay"].dataType)
@@ -70,16 +72,20 @@ def asof_join(
     ).select(*lside.columns)
 
     # backward: right rows sort BEFORE left rows at equal ts (side 0<1)
-    # so "at-or-before" includes the same instant; forward mirrors.
+    # so "at-or-before" includes the same instant, and among tied right
+    # rows the max payload sorts LAST (closest to the left row) so
+    # last(ignorenulls) picks it; forward mirrors with desc ordering.
     if direction == "backward":
         w = Window.partitionBy(*keys).orderBy(
-            F.col(ts_col).asc(), F.col("__is_left").asc()
+            F.col(ts_col).asc(), F.col("__is_left").asc(),
+            F.col("__pay").asc(),
         ).rowsBetween(Window.unboundedPreceding, 0)
         carried_pay = F.last("__pay", ignorenulls=True).over(w)
         carried_ts = F.last("__rts", ignorenulls=True).over(w)
     elif direction == "forward":
         w = Window.partitionBy(*keys).orderBy(
-            F.col(ts_col).asc(), F.col("__is_left").desc()
+            F.col(ts_col).asc(), F.col("__is_left").desc(),
+            F.col("__pay").desc(),
         ).rowsBetween(0, Window.unboundedFollowing)
         carried_pay = F.first("__pay", ignorenulls=True).over(w)
         carried_ts = F.first("__rts", ignorenulls=True).over(w)

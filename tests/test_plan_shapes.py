@@ -89,3 +89,34 @@ def test_dedup_lsh_has_no_cartesian(spark):
     plan = _plan(DD.jaccard_pairs(DD.shingles(docs, 3, distinct=False), pairs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_exchange_no_join(spark):
+    """The as-of join must plan as union → one hash exchange on the key
+    → one window — never a (range) join: a non-equi ts join explodes to
+    the per-key cross product before any per-row max at 100 TB."""
+    from matrixprofile_spark.operators import temporal as T
+
+    left = spark.createDataFrame(
+        [("c", 1, 100)], "conv_id string, turn_idx long, ts_epoch long")
+    right = spark.createDataFrame(
+        [("c", 7, 100)], "conv_id string, turn_idx long, ts_epoch long")
+    plan = _plan(T.asof_join(left, right, ["conv_id"]))
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_rare_shingle_pairs_reuses_shingle_exchange(spark):
+    """The df<=F frequency cut is a window over the same shingle key the
+    candidate self-join shuffles on — the plan must not pay a separate
+    groupBy+join-back round trip for the frequency, and must contain no
+    cartesian product."""
+    from matrixprofile_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+    plan = _plan(DD.rare_shingle_pairs(docs, n=3, max_shingle_freq=5))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # frequency via window on the join key, not an aggregate+join-back
+    assert "count(1) windowspecdefinition(shingle" in plan
