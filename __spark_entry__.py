@@ -1059,6 +1059,25 @@ def _q_stream_stateful_stats(spark, sf_dir):
                                  query_name=f"state_stats_{_STREAM_SEQ[0]}")
 
 
+def _q_stream_sessionize(spark, sf_dir):
+    """Session windows as a STREAM (native session_window event-time
+    aggregation, availableNow drain); must equal the batch gap-threshold
+    sessionize row-wise, sessions keyed by start_ts."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import stream_sessionize
+
+    t = _transcripts(spark, sf_dir).where(
+        F.col("conv_id") < "conv-00100"
+    ).select("conv_id", "turn_idx", "ts_epoch")
+    wd = tempfile.mkdtemp(prefix="mp_spark_sess_")
+    t.write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    return stream_sessionize(spark, f"{wd}/src",
+                             query_name=f"stream_sess_{_STREAM_SEQ[0]}",
+                             gap_s=180)
+
+
 def _q_stream_mpx_incremental(spark, sf_dir):
     """STAMPI-style stateful streaming matrix profile: the chosen token
     series arrive shuffled across 8 files drained 2 per trigger (4
@@ -1477,6 +1496,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_refresh_1m": _q_rollup_refresh_1m,
         "stream_rollup_1m": _q_stream_rollup_1m,
         "stream_stateful_stats": _q_stream_stateful_stats,
+        "stream_sessionize": _q_stream_sessionize,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
@@ -3494,6 +3514,31 @@ SELECT conv_id, session_idx,
        count(*) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_s
 FROM s GROUP BY 1, 2
+""".strip(),
+        "stream_sessionize": f"""
+WITH transcripts AS ({_T}),
+f AS (
+  SELECT conv_id, turn_idx, ts_epoch,
+    CASE WHEN ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) > 180
+         THEN 1 ELSE 0 END AS newf
+  FROM transcripts WHERE conv_id < 'conv-00100'
+),
+s AS (
+  SELECT conv_id, ts_epoch,
+    sum(newf) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM f
+),
+g AS (
+  SELECT conv_id, session_idx,
+         min(ts_epoch) AS start_ts, max(ts_epoch) AS end_ts,
+         count(*) AS n_turns
+  FROM s GROUP BY 1, 2
+)
+SELECT conv_id, start_ts, end_ts, n_turns,
+       end_ts - start_ts AS span_s
+FROM g
 """.strip(),
         "asof_tool_context": f"""
 WITH transcripts AS ({_T}),

@@ -387,3 +387,60 @@ def stream_rollup_1m(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "stream_sessions",
+    gap_s: int = 180,
+) -> DataFrame:
+    """Gap-threshold sessionization as a Structured Streaming job using
+    the native ``session_window`` event-time aggregation — the streaming
+    twin of operators.temporal.sessionize, which it must equal row-wise
+    (sessions keyed by start_ts; the batch op's per-conversation ordinal
+    needs total order and has no streaming meaning).
+
+    Semantics alignment: Spark's session window spans [start,
+    last_event + g] INCLUSIVE, so an event at exactly last + g still
+    merges — i.e. a split happens iff t2 - t1 > g, exactly the batch
+    op's "gap > gap_s splits". State per session is O(1), bounded
+    like the rollup's; the watermark ages sessions out of the store in
+    a continuous run, while this drain-the-backlog entry point uses
+    complete mode + memory sink for the same reason stream_rollup_1m
+    does.
+    """
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, ts_epoch long"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_path)
+    )
+    agg = (
+        src.withColumn("ts", F.timestamp_seconds(F.col("ts_epoch")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(
+            "conv_id",
+            F.session_window("ts", f"{gap_s} seconds").alias("win"),
+        )
+        .agg(
+            F.min("ts_epoch").alias("start_ts"),
+            F.max("ts_epoch").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            agg.select(
+                "conv_id", "start_ts", "end_ts", "n_turns",
+                (F.col("end_ts") - F.col("start_ts")).alias("span_s"),
+            )
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

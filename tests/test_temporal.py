@@ -127,3 +127,28 @@ def test_rare_shingle_pairs_matches_bruteforce(spark):
             if jac >= 0.4 and A & B:
                 want[(i, j)] = round(jac, 9)
     assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(4):
+        ts = np.cumsum(rng.integers(1, 400, size=40)).tolist()
+        rows += [(f"c{c}", i, int(t)) for i, t in enumerate(ts)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, ts_epoch long")
+    t.write.mode("overwrite").parquet(f"{tmp_path}/src")
+
+    from matrixprofile_spark.streaming.structured import stream_sessionize
+    from matrixprofile_spark.operators import temporal as T
+
+    got = sorted(
+        (r.conv_id, r.start_ts, r.end_ts, r.n_turns, r.span_s)
+        for r in stream_sessionize(
+            spark, f"{tmp_path}/src", query_name="t_sess").collect())
+    want = sorted(
+        (r.conv_id, r.start_ts, r.end_ts, r.n_turns, r.span_s)
+        for r in T.sessionize(t, gap_s=180).collect())
+    assert got == want and len(got) > 8
