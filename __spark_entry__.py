@@ -256,6 +256,16 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
 
 
+def _q_downsample_m4(spark, sf_dir):
+    """M4 visualization-exact downsample (VLDB'14): per 120 s bucket the
+    four extremal points of the token series, deterministic tie-breaks
+    via struct ordering."""
+    from matrixprofile_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(
+        S.token_count_series(_transcripts(spark, sf_dir)), 120)
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1423,6 +1433,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_sequential": _q_gapfill_sequential,
         "gapfill_interp": _q_gapfill_interp,
+        "downsample_m4": _q_downsample_m4,
         "sessionize": _q_sessionize,
         "asof_tool_context": _q_asof_tool_context,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3492,6 +3503,38 @@ SELECT conv_id, metric, ts_epoch,
          THEN v0 + (v1 - v0) * (ts_epoch - t0) / (t1 - t0)
          ELSE coalesce(v0, v1) END), 6) AS value_r6
 FROM m
+""".strip(),
+        "downsample_m4": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+b AS (
+  SELECT conv_id, metric, ts_epoch, value,
+         CAST(FLOOR(ts_epoch / 120.0) * 120 AS BIGINT) AS bucket_epoch
+  FROM tok WHERE value IS NOT NULL
+)
+SELECT DISTINCT conv_id, metric, bucket_epoch,
+  first_value(ts_epoch) OVER wf AS t_first,
+  first_value(value) OVER wf AS v_first,
+  first_value(ts_epoch) OVER wmin AS t_min,
+  first_value(value) OVER wmin AS v_min,
+  first_value(ts_epoch) OVER wmax AS t_max,
+  first_value(value) OVER wmax AS v_max,
+  first_value(ts_epoch) OVER wl AS t_last,
+  first_value(value) OVER wl AS v_last
+FROM b
+WINDOW
+  wf AS (PARTITION BY conv_id, metric, bucket_epoch
+         ORDER BY ts_epoch, value),
+  wl AS (PARTITION BY conv_id, metric, bucket_epoch
+         ORDER BY ts_epoch DESC, value DESC),
+  wmin AS (PARTITION BY conv_id, metric, bucket_epoch
+           ORDER BY value, ts_epoch),
+  wmax AS (PARTITION BY conv_id, metric, bucket_epoch
+           ORDER BY value DESC, ts_epoch DESC)
 """.strip(),
         "sessionize": f"""
 WITH transcripts AS ({_T}),

@@ -152,3 +152,24 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         (r.conv_id, r.start_ts, r.end_ts, r.n_turns, r.span_s)
         for r in T.sessionize(t, gap_s=180).collect())
     assert got == want and len(got) > 8
+
+
+def test_m4_downsample_picks_extremal_points(spark):
+    from matrixprofile_spark.operators.downsample import m4_downsample
+
+    rows = [("c", "m", i, ts, v) for i, (ts, v) in enumerate(
+        [(0, 5.0), (10, 1.0), (20, 9.0), (30, 3.0),   # bucket 0
+         (120, 2.0), (130, 2.0), (140, 8.0)])]        # bucket 120
+    ser = spark.createDataFrame(
+        rows, "conv_id string, metric string, idx long, ts_epoch long, "
+              "value double")
+    out = {r.bucket_epoch: r.asDict()
+           for r in m4_downsample(ser, 120).collect()}
+    b0, b1 = out[0], out[120]
+    assert (b0["t_first"], b0["v_first"]) == (0, 5.0)
+    assert (b0["t_min"], b0["v_min"]) == (10, 1.0)
+    assert (b0["t_max"], b0["v_max"]) == (20, 9.0)
+    assert (b0["t_last"], b0["v_last"]) == (30, 3.0)
+    # value tie at v=2.0: min resolves to the EARLIEST ts
+    assert (b1["t_min"], b1["v_min"]) == (120, 2.0)
+    assert (b1["t_max"], b1["v_max"]) == (140, 8.0)
