@@ -1383,6 +1383,23 @@ def _q_incremental_manifest(spark, sf_dir):
     )
 
 
+def _q_time_travel_1m(spark, sf_dir):
+    """Iceberg-style snapshot read: run the full incremental rollup,
+    then read the 1m tier AS OF the 3rd manifest commit — only the
+    first 3 committed day partitions are visible, although every day's
+    files are on disk. Oracle restricts the 1m sketch to the 3 earliest
+    days (stage order is deterministic: 1m days commit first, sorted)."""
+    import tempfile
+
+    from matrixprofile_spark.streaming import incremental as INC
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    wd = tempfile.mkdtemp(prefix="mp_spark_tt_")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd)
+    return INC.read_tier_as_of(spark, wd, "1m", snapshot_seq=3)
+
+
 def _last_verified_round() -> dict[str, int]:
     """Per-query round of the newest driver correctness row, read from the
     CORRECTNESS_r*.json artifacts next to this file.
@@ -1472,6 +1489,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_roundtrip": _q_segment_roundtrip,
         "segment_stats": _q_segment_stats,
         "incremental_manifest": _q_incremental_manifest,
+        "time_travel_1m": _q_time_travel_1m,
         "mpx_w16": _q_mpx_w16,
         "mass2_w16": _q_mass2_w16,
         "stomp_w16": _q_stomp_w16,
@@ -2564,6 +2582,27 @@ SELECT conv_id, metric,
        count(DISTINCT idx // 4096) AS n_segments,
        count(*) AS total_points
 FROM series GROUP BY 1, 2
+""".strip(),
+        "time_travel_1m": f"""
+WITH {_SERIES_CTE},
+r AS (
+  SELECT conv_id, metric,
+         CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+         count(value) AS cnt, sum(value) AS vsum, min(value) AS vmin,
+         max(value) AS vmax, sum(value * value) AS sum_sq,
+         min_by(value, ts_epoch) AS vfirst, max_by(value, ts_epoch) AS vlast
+  FROM series
+  WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+  GROUP BY 1, 2, 3
+),
+d AS (
+  SELECT r.*, dense_rank() OVER
+    (ORDER BY CAST(FLOOR(bucket_epoch / 86400.0) AS BIGINT)) AS dr
+  FROM r
+)
+SELECT conv_id, metric, bucket_epoch, cnt, vsum, vmin, vmax, sum_sq,
+       vfirst, vlast
+FROM d WHERE dr <= 3
 """.strip(),
         "incremental_manifest": f"""
 WITH {_SERIES_CTE},

@@ -226,6 +226,35 @@ def read_tier(spark: SparkSession, workdir: str, stage: str) -> DataFrame:
     return spark.read.parquet(_table_path(workdir, stage)).drop("day")
 
 
+def read_tier_as_of(
+    spark: SparkSession, workdir: str, stage: str, snapshot_seq: int
+) -> DataFrame:
+    """Iceberg-style time travel: the tier table as of the
+    ``snapshot_seq``-th manifest commit (1-based position across ALL
+    stages — the sandbox twin of Iceberg's global sequence_number).
+
+    The day-partition list comes from the manifest PREFIX, never from a
+    directory listing: a day committed after the snapshot is invisible
+    even though its files are on disk, which is exactly the isolation a
+    reader pinned to an Iceberg snapshot gets. Committed days are
+    immutable (resume recomputes only orphans that never got a manifest
+    row), so prefix-visibility equals snapshot state. The read plans as
+    a parquet scan over exactly the visible partitions — partition
+    pruning by construction, no filter needed.
+    """
+    entries = load_manifest(workdir)[:snapshot_seq]
+    days = [int(e["partition_key"]) for e in entries
+            if e["stage"] == stage]
+    base = _table_path(workdir, stage)
+    if not days:
+        # valid snapshot, table empty at that point: 0 rows, full schema
+        return spark.read.parquet(base).drop("day").limit(0)
+    paths = [os.path.join(base, f"day={d}") for d in days]
+    return (
+        spark.read.option("basePath", base).parquet(*paths).drop("day")
+    )
+
+
 def _skimp_store_path(workdir: str) -> str:
     return os.path.join(workdir, "skimp_profiles")
 

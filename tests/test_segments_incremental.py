@@ -236,3 +236,34 @@ def test_csv_ingestion_roundtrip(spark, transcripts, tmp_path):
     b = back.select(cols).orderBy("conv_id", "turn_idx").toPandas()
     pd.testing.assert_frame_equal(a, b)
     assert "ts" in back.columns
+
+
+def test_time_travel_snapshot_isolation(spark, transcripts, tmp_path):
+    """As-of reads see exactly the manifest-prefix days: a day whose
+    files are on disk but whose commit is after the snapshot is
+    invisible; as-of the final commit equals the live table."""
+    ser = S.project_series(transcripts)
+    wd = str(tmp_path / "tt")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd)
+    manifest = INC.load_manifest(wd)
+    m1_days = sorted(int(e["partition_key"]) for e in manifest
+                     if e["stage"] == "1m")
+    assert len(m1_days) >= 3
+
+    as_of_2 = INC.read_tier_as_of(spark, wd, "1m", snapshot_seq=2)
+    import pyspark.sql.functions as F2
+    days_seen = sorted(
+        r.day for r in as_of_2.select(
+            F2.floor(F2.col("bucket_epoch") / INC.DAY_S).alias("day")
+        ).distinct().collect())
+    assert days_seen == m1_days[:2]  # later committed days invisible
+
+    # as-of the last commit == the live read, row for row
+    full = INC.read_tier(spark, wd, "1m")
+    tip = INC.read_tier_as_of(spark, wd, "1m", snapshot_seq=len(manifest))
+    assert tip.exceptAll(full).count() == 0
+    assert full.exceptAll(tip).count() == 0
+
+    # empty prefix: schema preserved, zero rows
+    assert INC.read_tier_as_of(spark, wd, "1m", 0).count() == 0
