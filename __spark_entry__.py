@@ -266,6 +266,23 @@ def _q_downsample_m4(spark, sf_dir):
         S.token_count_series(_transcripts(spark, sf_dir)), 120)
 
 
+def _q_downsample_lttb(spark, sf_dir):
+    """LTTB shape-preserving downsample to 20 points per series
+    (sequential bucket-by-bucket selection; the oracle replays it with
+    a recursive CTE carrying the previous pick, like
+    gapfill_sequential). Runs on the 5 chosen conversations' token
+    series."""
+    from matrixprofile_spark.operators.downsample import lttb_downsample
+
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    sizes = tok.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n"))
+    chosen = (
+        sizes.where((F.col("n") >= 64) & (F.col("n") <= 400))
+        .orderBy("conv_id").limit(5).select("conv_id")
+    )
+    return lttb_downsample(tok.join(F.broadcast(chosen), "conv_id"), 20)
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1451,6 +1468,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_sequential": _q_gapfill_sequential,
         "gapfill_interp": _q_gapfill_interp,
         "downsample_m4": _q_downsample_m4,
+        "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
         "asof_tool_context": _q_asof_tool_context,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -3542,6 +3560,64 @@ SELECT conv_id, metric, ts_epoch,
          THEN v0 + (v1 - v0) * (ts_epoch - t0) / (t1 - t0)
          ELSE coalesce(v0, v1) END), 6) AS value_r6
 FROM m
+""".strip(),
+        "downsample_lttb": f"""
+WITH RECURSIVE transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, ts_epoch, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+q AS (
+  SELECT t.conv_id,
+         list(ts_epoch ORDER BY ts_epoch, value) AS ts,
+         list(value ORDER BY ts_epoch, value) AS vs,
+         count(*) AS n, count(*) - 2 AS m
+  FROM tok t JOIN chosen c USING (conv_id)
+  GROUP BY 1
+),
+-- k = 20 points: first (s=0), 18 bucket picks (s=1..18), last (s=19).
+-- sel_pos is the 1-based list position of the previous pick; bucket s
+-- covers middle 0-based indices [(s*m)//18, ((s+1)*m)//18) = list
+-- positions [lo+2, hi+2); the next-bucket anchor is that bucket's
+-- mean, or the last point for the final bucket. Ties in triangle area
+-- take the FIRST index (list_position of max), matching np.argmax.
+steps AS (
+  SELECT conv_id, ts, vs, n, m, 0 AS s, 1 AS sel_pos FROM q
+  UNION ALL
+  SELECT conv_id, ts, vs, n, m, s + 1,
+         CAST((s * m) // 18 + 1
+              + list_position(areas, list_max(areas)) AS INT)
+  FROM (
+    SELECT conv_id, ts, vs, n, m, s, sel_pos,
+      list_transform(
+        range((s * m) // 18 + 2, ((s + 1) * m) // 18 + 2),
+        jj -> abs((ts[sel_pos] - anch_t) * (vs[jj] - vs[sel_pos])
+                  - (ts[sel_pos] - ts[jj]) * (anch_v - vs[sel_pos]))
+      ) AS areas
+    FROM (
+      SELECT *,
+        CASE WHEN s < 17 THEN
+          list_sum(ts[((s + 1) * m) // 18 + 2 : ((s + 2) * m) // 18 + 1])
+            / (((s + 2) * m) // 18 - ((s + 1) * m) // 18)
+        ELSE CAST(ts[n] AS DOUBLE) END AS anch_t,
+        CASE WHEN s < 17 THEN
+          list_sum(vs[((s + 1) * m) // 18 + 2 : ((s + 2) * m) // 18 + 1])
+            / (((s + 2) * m) // 18 - ((s + 1) * m) // 18)
+        ELSE vs[n] END AS anch_v
+      FROM steps WHERE s < 18
+    )
+  )
+)
+SELECT conv_id, 'token_count' AS metric, CAST(s AS BIGINT) AS s,
+       ts[sel_pos] AS ts_epoch, vs[sel_pos] AS value
+FROM steps
+UNION ALL
+SELECT conv_id, 'token_count', 19, ts[n], vs[n] FROM q
 """.strip(),
         "downsample_m4": f"""
 WITH transcripts AS ({_T}),

@@ -173,3 +173,25 @@ def test_m4_downsample_picks_extremal_points(spark):
     # value tie at v=2.0: min resolves to the EARLIEST ts
     assert (b1["t_min"], b1["v_min"]) == (120, 2.0)
     assert (b1["t_max"], b1["v_max"]) == (140, 8.0)
+
+
+def test_lttb_keeps_endpoints_and_extremes(spark):
+    from matrixprofile_spark.operators.downsample import (
+        lttb_downsample, lttb_select)
+
+    # a flat series with one deep valley: LTTB must keep the valley
+    ts = np.arange(100, dtype="float64")
+    vs = np.full(100, 10.0)
+    vs[57] = -50.0
+    sel = lttb_select(ts, vs, 10)
+    assert sel[0] == 0 and sel[-1] == 99
+    assert 57 in sel
+    assert sel == sorted(sel) and len(sel) == 10
+    # n <= k: identity
+    assert lttb_select(ts[:5], vs[:5], 10) == [0, 1, 2, 3, 4]
+
+    rows = [("c", "m", int(t), float(v)) for t, v in zip(ts, vs)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts_epoch long, value double")
+    out = lttb_downsample(df, 10).orderBy("s").collect()
+    assert [r.ts_epoch for r in out] == [int(ts[i]) for i in sel]
