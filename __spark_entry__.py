@@ -283,6 +283,33 @@ def _q_downsample_lttb(spark, sf_dir):
     return lttb_downsample(tok.join(F.broadcast(chosen), "conv_id"), 20)
 
 
+def _q_counter_rate_1m(spark, sf_dir):
+    """Reset-aware counter increase/rate per 1m bucket (PromQL rule: a
+    negative adjacent delta means restart, the new value IS the
+    increase). The counter is the cumulative token count per
+    conversation wrapped at 5000 — deterministic resets."""
+    from matrixprofile_spark.operators.rates import counter_increase
+
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    cum = W.partitionBy("conv_id").orderBy("idx").rowsBetween(
+        W.unboundedPreceding, 0)
+    counter = tok.select(
+        "conv_id", F.lit("token_counter").alias("metric"), "ts_epoch",
+        (F.sum("value").over(cum) % 5000.0).alias("value"),
+    )
+    return counter_increase(counter, 60)
+
+
+def _q_twa_1h(spark, sf_dir):
+    """Time-weighted average token count per 1h bucket (LOCF step
+    interpolation within the bucket — duty-cycle semantics, not
+    sample-count mean)."""
+    from matrixprofile_spark.operators.rates import time_weighted_avg
+
+    return time_weighted_avg(
+        S.token_count_series(_transcripts(spark, sf_dir)), 3600)
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1468,6 +1495,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_sequential": _q_gapfill_sequential,
         "gapfill_interp": _q_gapfill_interp,
         "downsample_m4": _q_downsample_m4,
+        "counter_rate_1m": _q_counter_rate_1m,
+        "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
         "asof_tool_context": _q_asof_tool_context,
@@ -3618,6 +3647,55 @@ SELECT conv_id, 'token_count' AS metric, CAST(s AS BIGINT) AS s,
 FROM steps
 UNION ALL
 SELECT conv_id, 'token_count', 19, ts[n], vs[n] FROM q
+""".strip(),
+        "counter_rate_1m": f"""
+WITH transcripts AS ({_T}),
+counter AS (
+  SELECT conv_id, 'token_counter' AS metric, ts_epoch,
+         sum(CAST(length(text) AS DOUBLE)) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           % 5000.0 AS value
+  FROM transcripts
+),
+d AS (
+  SELECT conv_id, metric, ts_epoch,
+         value - lag(value) OVER
+           (PARTITION BY conv_id, metric ORDER BY ts_epoch) AS delta,
+         value
+  FROM counter
+),
+inc AS (
+  SELECT conv_id, metric, ts_epoch,
+         CASE WHEN delta >= 0 THEN delta ELSE value END AS inc
+  FROM d WHERE delta IS NOT NULL
+)
+SELECT conv_id, metric,
+       CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+       sum(inc) AS increase, count(*) AS n_samples,
+       sum(inc) / 60.0 AS rate_per_s
+FROM inc GROUP BY 1, 2, 3
+""".strip(),
+        "twa_1h": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, ts_epoch,
+         CAST(length(text) AS DOUBLE) AS value,
+         CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT) AS bucket_epoch
+  FROM transcripts
+),
+seg AS (
+  SELECT conv_id, metric, bucket_epoch, value,
+         CAST(coalesce(
+           lead(ts_epoch) OVER
+             (PARTITION BY conv_id, metric, bucket_epoch
+              ORDER BY ts_epoch, value),
+           bucket_epoch + 3600) - ts_epoch AS DOUBLE) AS dur
+  FROM tok
+)
+SELECT conv_id, metric, bucket_epoch,
+       sum(value * dur) / sum(dur) AS twa, count(*) AS n_samples
+FROM seg GROUP BY 1, 2, 3
 """.strip(),
         "downsample_m4": f"""
 WITH transcripts AS ({_T}),

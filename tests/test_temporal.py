@@ -195,3 +195,30 @@ def test_lttb_keeps_endpoints_and_extremes(spark):
         rows, "conv_id string, metric string, ts_epoch long, value double")
     out = lttb_downsample(df, 10).orderBy("s").collect()
     assert [r.ts_epoch for r in out] == [int(ts[i]) for i in sel]
+
+
+def test_counter_increase_handles_resets(spark):
+    from matrixprofile_spark.operators.rates import counter_increase
+
+    # counter: 10, 40, 5 (reset), 25 — increases 30, 5, 20; first
+    # sample contributes nothing
+    rows = [("c", "m", 0, 10.0), ("c", "m", 30, 40.0),
+            ("c", "m", 70, 5.0), ("c", "m", 100, 25.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts_epoch long, value double")
+    out = {r.bucket_epoch: (r.increase, r.n_samples)
+           for r in counter_increase(df, 60).collect()}
+    assert out == {0: (30.0, 1), 60: (25.0, 2)}
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    from matrixprofile_spark.operators.rates import time_weighted_avg
+
+    # bucket [0, 3600): v=10 holds 0→1800, v=20 holds 1800→3600 (bucket
+    # end) → twa = 15; the sample-count mean of (10, 20, 20, 20) would
+    # be 17.5 if the burst at 1800s were equally weighted
+    rows = [("c", "m", 0, 10.0), ("c", "m", 1800, 20.0)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts_epoch long, value double")
+    [r] = time_weighted_avg(df, 3600).collect()
+    assert (r.twa, r.n_samples) == (15.0, 2)
