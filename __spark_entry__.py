@@ -310,6 +310,29 @@ def _q_twa_1h(spark, sf_dir):
         S.token_count_series(_transcripts(spark, sf_dir)), 3600)
 
 
+def _q_hist_1h(spark, sf_dir):
+    """Fixed-bin token histogram per 1h bucket — the mergeable
+    distribution sketch beside the moment sketches."""
+    return rollup.histogram_rollup(
+        S.token_count_series(_transcripts(spark, sf_dir)), 3600, 100.0)
+
+
+def _q_hist_cascade_1d(spark, sf_dir):
+    """Histogram mergeability, hash-proven: the 1d histogram CASCADED
+    from the 1h tier (bin-wise sum) must equal the oracle's direct
+    1d histogram computed from raw — the tier-cascade exactness
+    contract, for distributions."""
+    h1h = rollup.histogram_rollup(
+        S.token_count_series(_transcripts(spark, sf_dir)), 3600, 100.0)
+    return rollup.histogram_cascade(h1h, 86400)
+
+
+def _q_top_tools_1h(spark, sf_dir):
+    """Exact top-3 heavy-hitter tools per 1h bucket (count + rank over
+    the collapsed counts; deterministic ties count desc, tool asc)."""
+    return S.top_tools(_transcripts(spark, sf_dir), 3600, 3)
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1496,6 +1519,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_interp": _q_gapfill_interp,
         "downsample_m4": _q_downsample_m4,
         "counter_rate_1m": _q_counter_rate_1m,
+        "hist_1h": _q_hist_1h,
+        "hist_cascade_1d": _q_hist_cascade_1d,
+        "top_tools_1h": _q_top_tools_1h,
         "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
@@ -3647,6 +3673,36 @@ SELECT conv_id, 'token_count' AS metric, CAST(s AS BIGINT) AS s,
 FROM steps
 UNION ALL
 SELECT conv_id, 'token_count', 19, ts[n], vs[n] FROM q
+""".strip(),
+        "hist_1h": f"""
+WITH transcripts AS ({_T})
+SELECT conv_id, 'token_count' AS metric,
+       CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT) AS bucket_epoch,
+       CAST(FLOOR(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+       count(*) AS cnt
+FROM transcripts GROUP BY 1, 2, 3, 4
+""".strip(),
+        "hist_cascade_1d": f"""
+WITH transcripts AS ({_T})
+SELECT conv_id, 'token_count' AS metric,
+       CAST(FLOOR(ts_epoch / 86400.0) * 86400 AS BIGINT) AS bucket_epoch,
+       CAST(FLOOR(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) AS bin,
+       count(*) AS cnt
+FROM transcripts GROUP BY 1, 2, 3, 4
+""".strip(),
+        "top_tools_1h": f"""
+WITH transcripts AS ({_T}),
+c AS (
+  SELECT CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT) AS bucket_epoch,
+         tool, count(*) AS n_calls
+  FROM transcripts WHERE tool IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT bucket_epoch, tool, n_calls,
+       CAST(row_number() OVER
+         (PARTITION BY bucket_epoch
+          ORDER BY n_calls DESC, tool ASC) AS INT) AS rank
+FROM c QUALIFY rank <= 3
 """.strip(),
         "counter_rate_1m": f"""
 WITH transcripts AS ({_T}),

@@ -245,3 +245,36 @@ def retention_union(
         "conv_id", "metric", "bucket_epoch", F.lit("1d").alias("tier"), "cnt", "vsum"
     )
     return raw_part.unionByName(m_part).unionByName(h_part).unionByName(d_part)
+
+
+def histogram_rollup(series: DataFrame, bucket_s: int = 3600,
+                     bin_w: float = 100.0) -> DataFrame:
+    """Fixed-bin value histogram per (conv_id, metric, time bucket) —
+    the mergeable distribution sketch the moment-based rollup sketches
+    (sum/sum_sq) can't provide: a coarser tier's histogram is the
+    BIN-WISE SUM of the finer tier's, so histograms cascade raw→1m→1h→1d
+    exactly like counts (tested as an invariant). One codegen groupBy;
+    bin = floor(value / bin_w).
+    """
+    v = F.col("value")
+    bucket = (F.floor(F.col("ts_epoch") / bucket_s) * bucket_s).cast("bigint")
+    return (
+        series.where(v.isNotNull())
+        .groupBy(
+            "conv_id", "metric", bucket.alias("bucket_epoch"),
+            F.floor(v / bin_w).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_cascade(hist: DataFrame, bucket_s: int) -> DataFrame:
+    """Coarsen a histogram tier: re-bucket the time axis, sum bins."""
+    bucket = (
+        F.floor(F.col("bucket_epoch") / bucket_s) * bucket_s
+    ).cast("bigint")
+    return (
+        hist.groupBy(
+            "conv_id", "metric", bucket.alias("bucket_epoch"), "bin"
+        ).agg(F.sum("cnt").alias("cnt"))
+    )

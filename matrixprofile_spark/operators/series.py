@@ -107,3 +107,30 @@ def project_series(transcripts: DataFrame, metrics=METRICS) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def top_tools(transcripts: DataFrame, bucket_s: int = 3600,
+              k: int = 3) -> DataFrame:
+    """Top-k most-invoked tools per time bucket (exact heavy hitters:
+    count + rank — at this cardinality the exact groupBy IS the scale
+    path, since the key space is |tools| × |buckets|, tiny regardless
+    of row count; a sketch would only pay off with unbounded key
+    domains). Deterministic ties: count desc, tool asc. Rank runs per
+    bucket AFTER the count aggregation collapsed the data, so the
+    window sees |tools| rows per bucket, not raw turns.
+    """
+    bucket = (F.floor(F.col("ts_epoch") / bucket_s) * bucket_s).cast("bigint")
+    counts = (
+        transcripts.where(F.col("tool").isNotNull())
+        .groupBy(bucket.alias("bucket_epoch"), "tool")
+        .agg(F.count(F.lit(1)).alias("n_calls"))
+    )
+    w = Window.partitionBy("bucket_epoch").orderBy(
+        F.col("n_calls").desc(), F.col("tool").asc()
+    )
+    return (
+        counts.select(
+            "bucket_epoch", "tool", "n_calls",
+            F.row_number().over(w).alias("rank"),
+        ).where(F.col("rank") <= k)
+    )

@@ -222,3 +222,19 @@ def test_time_weighted_avg_weights_by_duration(spark):
         rows, "conv_id string, metric string, ts_epoch long, value double")
     [r] = time_weighted_avg(df, 3600).collect()
     assert (r.twa, r.n_samples) == (15.0, 2)
+
+
+def test_histogram_cascade_equals_direct(spark):
+    from matrixprofile_spark.operators import rollup
+
+    rng = np.random.default_rng(5)
+    rows = [("c", "m", int(t), float(v)) for t, v in zip(
+        np.cumsum(rng.integers(10, 500, size=300)),
+        rng.integers(0, 900, size=300))]
+    ser = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts_epoch long, value double")
+    fine = rollup.histogram_rollup(ser, 600, 100.0)
+    cascaded = rollup.histogram_cascade(fine, 6000)
+    direct = rollup.histogram_rollup(ser, 6000, 100.0)
+    assert cascaded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(cascaded).count() == 0
