@@ -1272,6 +1272,14 @@ def _q_langid(spark, sf_dir):
     return TS.langid(_docs(spark, sf_dir))
 
 
+def _q_corpus_keep(spark, sf_dir):
+    """One-pass corpus filter verdict over the dup-augmented corpus:
+    dedup survivor AND quality >= 0.5 AND lang = en."""
+    from matrixprofile_spark.operators import textstats as TS
+
+    return TS.corpus_keep(_doc_corpus(spark, sf_dir), 0.5, "en")
+
+
 def _q_fingerprints(spark, sf_dir):
     from matrixprofile_spark.operators import textstats as TS
 
@@ -1520,6 +1528,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_m4": _q_downsample_m4,
         "counter_rate_1m": _q_counter_rate_1m,
         "hist_1h": _q_hist_1h,
+        "corpus_keep": _q_corpus_keep,
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
         "twa_1h": _q_twa_1h,
@@ -3673,6 +3682,50 @@ SELECT conv_id, 'token_count' AS metric, CAST(s AS BIGINT) AS s,
 FROM steps
 UNION ALL
 SELECT conv_id, 'token_count', 19, ts[n], vs[n] FROM q
+""".strip(),
+        "corpus_keep": f"""
+WITH {_CORPUS_CTE},
+t AS (SELECT doc_id AS id, text,
+             string_split(trim(text), ' ') AS toks FROM corpus),
+m AS (
+  SELECT id, text, len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct,
+    len(list_filter(toks,
+        x -> list_contains(['the', 'a', 'of', 'and', 'to'], x))) AS n_stop
+  FROM t
+),
+long AS (
+  SELECT id, 'de' AS lang, len(list_filter(toks, x -> list_contains(['der','die','das','und','ein'], x))) AS hits FROM t
+  UNION ALL
+  SELECT id, 'en', len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) FROM t
+  UNION ALL
+  SELECT id, 'es', len(list_filter(toks, x -> list_contains(['el','la','de','los','que'], x))) FROM t
+  UNION ALL
+  SELECT id, 'fr', len(list_filter(toks, x -> list_contains(['le','la','les','des','une'], x))) FROM t
+  UNION ALL
+  SELECT id, 'zh', len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) FROM t
+),
+best AS (
+  SELECT id, lang, hits,
+         row_number() OVER (PARTITION BY id ORDER BY hits DESC, lang DESC) AS rn
+  FROM long
+),
+s AS (
+  SELECT m.id, m.text,
+    0.4 * least(1.0, n_tokens / 100.0)
+      + 0.3 * (n_distinct / n_tokens)
+      + 0.3 * least(1.0, (n_stop / n_tokens) * 5) AS quality,
+    CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
+  FROM m JOIN best b ON b.id = m.id AND b.rn = 1
+),
+d AS (
+  SELECT id, quality, lang_pred,
+         id = min(id) OVER (PARTITION BY md5(text)) AS dedup_ok
+  FROM s
+)
+SELECT id, round(quality, 6) AS quality_r6, lang_pred, dedup_ok,
+       (dedup_ok AND quality >= 0.5 AND lang_pred = 'en') AS keep
+FROM d
 """.strip(),
         "hist_1h": f"""
 WITH transcripts AS ({_T})

@@ -53,9 +53,10 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """score = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio +
-    0.3·min(1, stop_ratio·5); integer-count arithmetic → exact."""
+def _quality_parts(text_col: str):
+    """(n_tokens, distinct_ratio, stop_ratio, score) column expressions
+    — shared by quality_score and corpus_keep so the composed filter is
+    the same arithmetic, not a re-derivation."""
     toks = _tokens(text_col)
     en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
     n_tok = F.size(toks)
@@ -67,6 +68,13 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         + 0.3 * distinct_ratio
         + 0.3 * F.least(F.lit(1.0), stop_ratio * 5)
     )
+    return n_tok, distinct_ratio, stop_ratio, score
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """score = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio +
+    0.3·min(1, stop_ratio·5); integer-count arithmetic → exact."""
+    n_tok, distinct_ratio, stop_ratio, score = _quality_parts(text_col)
     return docs.select(
         F.col(id_col).alias("id"),
         n_tok.cast("bigint").alias("n_tokens"),
@@ -76,27 +84,58 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def _langid_best(text_col: str):
+    """array_max over (hits, lang) structs — the argmax stopword vote as
+    one column expression (struct compare: hits first, then lang)."""
+    pairs = []
+    for lang in sorted(STOPWORDS):
+        lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+        pairs.append(F.struct(
+            F.expr(
+                f"size(filter(split(trim({text_col}), ' '), x -> x IN ({lst})))"
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        ))
+    return F.array_max(F.array(*pairs))
+
+
 def langid(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """argmax stopword-profile vote; deterministic tie-break by lang
     code; 'und' when zero hits."""
-    hits = []
-    for lang in sorted(STOPWORDS):
-        lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
-        hits.append(
-            F.expr(
-                f"size(filter(split(trim({text_col}), ' '), x -> x IN ({lst})))"
-            ).alias(f"hits_{lang}")
-        )
-    scored = docs.select(F.col(id_col).alias("id"), *hits)
-    pairs = F.array(*[
-        F.struct(F.col(f"hits_{lang}").alias("hits"), F.lit(lang).alias("lang"))
-        for lang in sorted(STOPWORDS)
-    ])
-    best = F.array_max(pairs)  # struct compare: hits first, then lang
-    return scored.select(
-        "id",
+    best = _langid_best(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise("und").alias("lang_pred"),
         best["hits"].cast("bigint").alias("lang_hits"),
+    )
+
+
+def corpus_keep(docs: DataFrame, q_threshold: float = 0.5,
+                lang: str = "en", id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """End-to-end training-corpus keep/drop verdict — the pipeline
+    composition: exact-dedup survivorship AND quality >= threshold AND
+    language match, in ONE pass. The quality and language columns are
+    the SAME expressions the standalone operators emit (shared
+    builders), and dedup survivorship is a min-over-md5(text) window,
+    so the whole filter costs a single exchange on the text hash — not
+    the three id-keyed join shuffles that composing the three operator
+    OUTPUTS would pay. The threshold compares the UNROUNDED score.
+    """
+    from pyspark.sql import Window
+
+    _, _, _, score = _quality_parts(text_col)
+    best = _langid_best(text_col)
+    lang_pred = F.when(best["hits"] > 0, best["lang"]).otherwise("und")
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    dedup_ok = F.col(id_col) == F.min(id_col).over(w)
+    keep = dedup_ok & (score >= q_threshold) & (lang_pred == lang)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.round(score, 6).alias("quality_r6"),
+        lang_pred.alias("lang_pred"),
+        dedup_ok.alias("dedup_ok"),
+        keep.alias("keep"),
     )
 
 
