@@ -1272,6 +1272,27 @@ def _q_langid(spark, sf_dir):
     return TS.langid(_docs(spark, sf_dir))
 
 
+def _q_events_sessions(spark, sf_dir):
+    """sessionize generalized beyond transcripts: per-user sessions on
+    the events table (12h gap threshold), event order pinned by
+    (ts, event_id) row_number so sub-second ties stay deterministic."""
+    from matrixprofile_spark.operators import temporal as T
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    proj = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        # ts is TIMESTAMP_NTZ: no bigint cast, and tz-dependent casts
+        # would shift; whole-second diff from the epoch is tz-free and
+        # floors exactly like the oracle's epoch_us // 1e6
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " ts)").alias("ts_epoch"),
+    )
+    return T.sessionize(proj, gap_s=43200).withColumnRenamed(
+        "conv_id", "user_id")
+
+
 def _q_corpus_keep(spark, sf_dir):
     """One-pass corpus filter verdict over the dup-augmented corpus:
     dedup survivor AND quality >= 0.5 AND lang = en."""
@@ -1529,6 +1550,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1m": _q_counter_rate_1m,
         "hist_1h": _q_hist_1h,
         "corpus_keep": _q_corpus_keep,
+        "events_sessions": _q_events_sessions,
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
         "twa_1h": _q_twa_1h,
@@ -3682,6 +3704,34 @@ SELECT conv_id, 'token_count' AS metric, CAST(s AS BIGINT) AS s,
 FROM steps
 UNION ALL
 SELECT conv_id, 'token_count', 19, ts[n], vs[n] FROM q
+""".strip(),
+        "events_sessions": """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS turn_idx,
+         epoch_us(ts) // 1000000 AS ts_epoch
+  FROM events
+),
+f AS (
+  SELECT user_id, turn_idx, ts_epoch,
+    CASE WHEN ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY user_id ORDER BY turn_idx) > 43200
+         THEN 1 ELSE 0 END AS newf
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_epoch,
+    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_idx
+  FROM f
+)
+SELECT user_id, session_idx,
+       min(ts_epoch) AS start_ts, max(ts_epoch) AS end_ts,
+       count(*) AS n_turns,
+       max(ts_epoch) - min(ts_epoch) AS span_s
+FROM s GROUP BY 1, 2
 """.strip(),
         "corpus_keep": f"""
 WITH {_CORPUS_CTE},
