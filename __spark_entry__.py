@@ -211,9 +211,10 @@ def _q_gapfill_window_mean(spark, sf_dir):
 def _q_gapfill_interp(spark, sf_dir):
     """Linear-interpolation fill over the densified token grid: each
     NULL takes the straight line between the bracketing observations
-    (one-sided holes fall back to LOCF/NOCB)."""
+    (fused generate-your-own-gap shape: two exchanges, no grid join —
+    same plan family as gapfill_locf)."""
     tok = S.token_count_series(_transcripts(spark, sf_dir))
-    out = gapfill.fill_interp(gapfill.to_grid(tok, 60))
+    out = gapfill.gapfill_interp(tok, 60)
     return out.select("conv_id", "metric", "ts_epoch",
                       F.round("value", 6).alias("value_r6"))
 

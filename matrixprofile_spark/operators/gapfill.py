@@ -218,3 +218,48 @@ def fill_interp(grid: DataFrame) -> DataFrame:
         "conv_id", "metric", "ts_epoch",
         F.coalesce(F.col("value"), interp).alias("value"),
     )
+
+
+def gapfill_interp(series: DataFrame, step_s: int = 60) -> DataFrame:
+    """Fused grid + linear-interpolation fill — equals
+    fill_interp(to_grid(series, step_s)) with the same two-exchange
+    plan as gapfill_locf: one window pass lags the previous observed
+    bucket and each row GENERATES its own gap inline (sequence over the
+    missing buckets interpolates between the lagged and current
+    observation), so nothing scans the bucketed aggregate twice and no
+    grid join exists. Interior grid points are exact line points; grid
+    endpoints are observed buckets by construction, so fill_interp's
+    one-sided fallbacks never trigger here.
+    """
+    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucketed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
+        .agg((F.sum("value") / F.count("value")).alias("value"))
+    )
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    lagged = bucketed.select(
+        "conv_id", "metric",
+        F.col("ts_epoch").alias("_t1"), F.col("value").alias("_v1"),
+        F.lag("ts_epoch").over(w).alias("_t0"),
+        F.lag("value").over(w).alias("_v0"),
+    )
+    exploded = lagged.select(
+        "conv_id", "metric", "_t0", "_t1", "_v0", "_v1",
+        F.explode(
+            F.sequence(
+                F.coalesce(F.col("_t0") + step_s, F.col("_t1")),
+                F.col("_t1"),
+                F.lit(int(step_s)),
+            )
+        ).alias("ts_epoch"),
+    )
+    t = F.col("ts_epoch")
+    value = F.when(t == F.col("_t1"), F.col("_v1")).otherwise(
+        F.col("_v0")
+        + (F.col("_v1") - F.col("_v0")) * (t - F.col("_t0"))
+        / (F.col("_t1") - F.col("_t0"))
+    )
+    return exploded.select(
+        "conv_id", "metric", "ts_epoch", value.alias("value")
+    )

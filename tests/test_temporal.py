@@ -238,3 +238,21 @@ def test_histogram_cascade_equals_direct(spark):
     direct = rollup.histogram_rollup(ser, 6000, 100.0)
     assert cascaded.exceptAll(direct).count() == 0
     assert direct.exceptAll(cascaded).count() == 0
+
+
+def test_gapfill_interp_fused_equals_composed(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    for c in range(3):
+        t = np.cumsum(rng.integers(30, 400, size=50))
+        rows += [(f"c{c}", "m", int(tt), float(v)) for tt, v in
+                 zip(t, rng.integers(0, 500, size=50))]
+    ser = spark.createDataFrame(
+        rows, "conv_id string, metric string, ts_epoch long, value double")
+    fused = gapfill.gapfill_interp(ser, 60)
+    composed = gapfill.fill_interp(gapfill.to_grid(ser, 60))
+    assert fused.exceptAll(composed).count() == 0
+    assert composed.exceptAll(fused).count() == 0
+    # and the fused plan has no join and at most 2 exchanges
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and plan.count("Exchange") <= 2
