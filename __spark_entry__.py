@@ -103,24 +103,30 @@ def _q_rollup(tier: str):
     return q
 
 
-import weakref  # noqa: E402
+# Per-SparkSession memo for checkpointed query inputs, with EXPLICIT
+# eviction of stopped sessions on every access (r5 ADVICE). A
+# WeakKeyDictionary cannot express this: the memoized DataFrames hold a
+# strong reference back to their session, so the weak key never dies
+# and the entry (plus the localCheckpoint blocks it pins) leaks anyway
+# — the documented values-must-not-reference-keys hazard.
+_SESSION_MEMO: dict = {}
 
-# Per-SparkSession memo for checkpointed query inputs. WeakKeyDictionary
-# on the session object: when a session is stopped and replaced, its
-# entry — and the localCheckpoint blocks the cached DataFrames pin —
-# becomes collectable with it, instead of living for the process
-# lifetime under an id()-keyed module dict (r5 ADVICE).
-_SESSION_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+def _session_alive(spark) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 def _session_memo(spark, key, build):
-    d = _SESSION_MEMO.get(spark)
-    if d is None:
-        d = {}
-        _SESSION_MEMO[spark] = d
-    if key not in d:
-        d[key] = build()
-    return d[key]
+    for sid in [s for s, (sess, _) in _SESSION_MEMO.items()
+                if not _session_alive(sess)]:
+        del _SESSION_MEMO[sid]
+    sess_d = _SESSION_MEMO.setdefault(id(spark), (spark, {}))[1]
+    if key not in sess_d:
+        sess_d[key] = build()
+    return sess_d[key]
 
 
 def _q_rollup_refresh_1m(spark, sf_dir):
@@ -991,10 +997,22 @@ def _q_hcluster_assign(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     pd_ = P.pairwise_mpdist(chosen, 8, metric="token_count", packed=True)
     pairs = pd_.select("conv_id_a", "conv_id_b", "mpdist").collect()
+    if not pairs:  # < 2 chosen series at this scale: empty, not min([])
+        return spark.createDataFrame(
+            [],
+            "conv_id string, assignment_complete boolean, "
+            "cluster_in_range boolean, at_most_t_clusters boolean, "
+            "closest_pair_cofused boolean",
+        )
+    # re-materialize the collected pairs so hierarchical_assignments
+    # consumes them directly instead of re-executing the full
+    # pairwise-MPDist lineage a second time (it collects internally)
+    pd_rows = spark.createDataFrame(
+        pairs, "conv_id_a string, conv_id_b string, mpdist double")
     assign = {
         r["conv_id"]: r["cluster"]
         for r in P.hierarchical_assignments(
-            pd_, t=2, criterion="maxclust").collect()
+            pd_rows, t=2, criterion="maxclust").collect()
     }
     ids = sorted({p["conv_id_a"] for p in pairs}
                  | {p["conv_id_b"] for p in pairs})
@@ -3821,7 +3839,7 @@ counter AS (
 d AS (
   SELECT conv_id, metric, ts_epoch,
          value - lag(value) OVER
-           (PARTITION BY conv_id, metric ORDER BY ts_epoch) AS delta,
+           (PARTITION BY conv_id, metric ORDER BY ts_epoch, value) AS delta,
          value
   FROM counter
 ),

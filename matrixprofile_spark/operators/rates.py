@@ -31,7 +31,9 @@ def counter_increase(series: DataFrame, bucket_s: int = 60) -> DataFrame:
     has no predecessor and contributes nothing. Output: conv_id,
     metric, bucket_epoch, increase, n_samples, rate_per_s.
     """
-    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    # (ts, value) ordering: duplicate timestamps would otherwise make
+    # the adjacent delta — and thus reset detection — nondeterministic
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch", "value")
     d = F.col("value") - F.lag("value").over(w)
     inc = (
         series.where(F.col("value").isNotNull())

@@ -58,9 +58,12 @@ def asof_join(
     pay = F.struct(*[F.col(c) for c in payload_cols])
     r1 = right.select(*keys, F.col(ts_col), pay.alias("__pay"))
 
+    # the matched timestamp keeps the RIGHT ts column's own type — a
+    # fixed bigint cast would silently truncate fractional timestamps
+    rts_type = right.schema[ts_col].dataType
     lside = left.withColumn("__is_left", F.lit(1)).withColumn(
         "__pay", F.lit(None).cast(r1.schema["__pay"].dataType)
-    ).withColumn("__rts", F.lit(None).cast("bigint"))
+    ).withColumn("__rts", F.lit(None).cast(rts_type))
     rside = r1.select(
         *keys,
         F.col(ts_col),
@@ -68,7 +71,7 @@ def asof_join(
           for c in left.columns if c not in (*keys, ts_col)],
         F.lit(0).alias("__is_left"),
         "__pay",
-        F.col(ts_col).cast("bigint").alias("__rts"),
+        F.col(ts_col).alias("__rts"),
     ).select(*lside.columns)
 
     # backward: right rows sort BEFORE left rows at equal ts (side 0<1)

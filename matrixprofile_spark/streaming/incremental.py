@@ -33,6 +33,13 @@ from matrixprofile_spark.operators import rollup as R
 
 DAY_S = 86_400
 
+# the rollup sketch row every tier table stores (rollup_from_raw output)
+TIER_SCHEMA = (
+    "conv_id string, metric string, bucket_epoch bigint, cnt bigint, "
+    "vsum double, vmin double, vmax double, sum_sq double, "
+    "vfirst double, vlast double"
+)
+
 STAGES = {
     "1m": ("raw", 60),
     "1h": ("1m", 3600),
@@ -247,7 +254,11 @@ def read_tier_as_of(
             if e["stage"] == stage]
     base = _table_path(workdir, stage)
     if not days:
-        # valid snapshot, table empty at that point: 0 rows, full schema
+        # valid snapshot, table empty at that point: 0 rows, full
+        # schema — from the declared sketch schema when the stage has
+        # never committed (its directory may not even exist yet)
+        if not os.path.isdir(base):
+            return spark.createDataFrame([], TIER_SCHEMA)
         return spark.read.parquet(base).drop("day").limit(0)
     paths = [os.path.join(base, f"day={d}") for d in days]
     return (

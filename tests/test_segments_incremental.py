@@ -267,3 +267,12 @@ def test_time_travel_snapshot_isolation(spark, transcripts, tmp_path):
 
     # empty prefix: schema preserved, zero rows
     assert INC.read_tier_as_of(spark, wd, "1m", 0).count() == 0
+
+    # a stage that never committed (directory absent): still an empty
+    # frame with the declared sketch schema, not an AnalysisException
+    wd2 = str(tmp_path / "tt2")
+    INC.write_series_source(ser, wd2)
+    INC.run_incremental_rollup(spark, wd2, stages=("1m",))
+    empty_1h = INC.read_tier_as_of(spark, wd2, "1h", snapshot_seq=1)
+    assert empty_1h.count() == 0
+    assert "bucket_epoch" in empty_1h.columns
