@@ -120,3 +120,27 @@ def test_rare_shingle_pairs_reuses_shingle_exchange(spark):
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     # frequency via window on the join key, not an aggregate+join-back
     assert "count(1) windowspecdefinition(shingle" in plan
+
+
+def test_round6_aggregate_operators_are_single_exchange(spark):
+    """counter_increase, time_weighted_avg, m4_downsample,
+    histogram_rollup and corpus_keep must each plan exactly ONE
+    exchange: their groupBy keys are supersets of (or equal to) the
+    window partition keys, so the window's hash partitioning already
+    satisfies the aggregation's clustering requirement."""
+    from matrixprofile_spark.operators.downsample import m4_downsample
+    from matrixprofile_spark.operators.rates import (
+        counter_increase, time_weighted_avg)
+    from matrixprofile_spark.operators import rollup as RU
+    from matrixprofile_spark.operators import textstats as TS
+
+    ser = spark.createDataFrame(
+        [("c", "m", 0, 100, 1.0)],
+        "conv_id string, metric string, idx long, ts_epoch long, "
+        "value double")
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for df in (counter_increase(ser, 60), time_weighted_avg(ser, 3600),
+               m4_downsample(ser, 120), RU.histogram_rollup(ser, 3600),
+               TS.corpus_keep(docs)):
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1 and "Join" not in plan
