@@ -242,7 +242,11 @@ def rare_shingle_pairs(
     set means shared boilerplate, which exact_dedup's md5 pass or one
     representative per hot shingle covers; audit what the cut skipped
     with ``hot_shingles``. Exact Jaccard then reuses jaccard_pairs
-    (per-doc collect_set + in-row array_intersect, codegen).
+    (per-doc collect_set + in-row array_intersect, codegen) — fed the
+    NON-distinct shingle stream, like the MinHash pipeline: collect_set
+    dedupes in-aggregate, so that branch skips the distinct()'s full
+    (id, shingle) shuffle and its map-side partial collapses each
+    partition before the id exchange.
     """
     from pyspark.sql import Window
 
@@ -264,7 +268,9 @@ def rare_shingle_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return jaccard_pairs(sh, cand).where(F.col("jaccard") >= threshold)
+    raw_sh = shingles(docs, n, id_col, text_col, distinct=False)
+    return jaccard_pairs(raw_sh, cand).where(
+        F.col("jaccard") >= threshold)
 
 
 def hot_shingles(
