@@ -1174,6 +1174,29 @@ def _q_stream_sessionize(spark, sf_dir):
                              gap_s=180)
 
 
+def _q_stream_rollup_1m_append(spark, sf_dir):
+    """raw→1m as a watermarked APPEND-mode stream — the production
+    emission mode (complete-mode twin: stream_rollup_1m). Emitted rows
+    are exactly the windows the final watermark passed:
+    window.end <= max(event ts) - delay; newer windows stay in state by
+    design. delay = 601 s (not a bucket multiple) so the emission
+    boundary never coincides with a window end and the oracle predicate
+    is unambiguous."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import (
+        stream_rollup_1m_append,
+    )
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    wd = tempfile.mkdtemp(prefix="mp_spark_app_")
+    ser.write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    return stream_rollup_1m_append(
+        spark, f"{wd}/src",
+        query_name=f"stream_r1m_app_{_STREAM_SEQ[0]}", delay="601 seconds")
+
+
 def _q_stream_mpx_incremental(spark, sf_dir):
     """STAMPI-style stateful streaming matrix profile: the chosen token
     series arrive shuffled across 8 files drained 2 per trigger (4
@@ -1649,6 +1672,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1m": _q_stream_rollup_1m,
         "stream_stateful_stats": _q_stream_stateful_stats,
         "stream_sessionize": _q_stream_sessionize,
+        "stream_rollup_1m_append": _q_stream_rollup_1m_append,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
@@ -3928,6 +3952,22 @@ SELECT conv_id, session_idx,
        count(*) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_s
 FROM s GROUP BY 1, 2
+""".strip(),
+        "stream_rollup_1m_append": f"""
+WITH {_SERIES_CTE},
+f AS (
+  SELECT * FROM series
+  WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+),
+wm AS (SELECT max(ts_epoch) - 601 AS w FROM f),
+r AS (
+  SELECT conv_id, metric,
+         CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS bucket_epoch,
+         count(value) AS cnt, sum(value) AS vsum,
+         min(value) AS vmin, max(value) AS vmax
+  FROM f GROUP BY 1, 2, 3
+)
+SELECT r.* FROM r, wm WHERE r.bucket_epoch + 60 <= wm.w
 """.strip(),
         "stream_sessionize": f"""
 WITH transcripts AS ({_T}),

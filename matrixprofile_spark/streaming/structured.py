@@ -444,3 +444,65 @@ def stream_sessionize(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_rollup_1m_append(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "stream_rollup_append",
+    tier_s: int = 60,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """The PRODUCTION emission mode for the raw→1m stream: append +
+    watermark. A window row is emitted exactly once, when the watermark
+    (max event time seen in prior batches, minus ``delay``) passes its
+    end — after which its state is dropped and later arrivals for it
+    land in the late-data path (batch refresh_rollup covers those).
+    stream_rollup_1m's complete-mode twin re-emits everything per
+    trigger, which is right for drain-the-backlog verification but
+    unbounded for a continuous job; this one's state and output are
+    both watermark-bounded. Windows newer than the final watermark are
+    STILL IN STATE when an availableNow drain ends — by design; callers
+    needing them flush via a final complete-mode drain or the batch
+    rollup.
+    """
+    v = F.col("value")
+    # batching does not affect the final emission set (the last batch's
+    # watermark is always global-max - delay), so drain 8 files per
+    # trigger like the siblings rather than paying per-file batches
+    src = (
+        spark.readStream.schema(SERIES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_path)
+    )
+    agg = (
+        src.where(v.isNotNull())
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_epoch")))
+        .withWatermark("ts", delay)
+        .groupBy(
+            "conv_id",
+            "metric",
+            F.window("ts", f"{tier_s} seconds").alias("win"),
+        )
+        .agg(
+            F.count(v).alias("cnt"),
+            F.sum(v).alias("vsum"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            agg.select(
+                "conv_id", "metric",
+                F.unix_timestamp(F.col("win.start")).alias("bucket_epoch"),
+                "cnt", "vsum", "vmin", "vmax",
+            )
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)

@@ -110,3 +110,43 @@ def test_dropped_point_is_bounded_not_stalled(spark, tmp_path):
               .where("idx = -1").toPandas())
     assert len(audits) >= 1
     assert audits.dist.iloc[-1] == 1.0  # exactly one point gap-filled
+
+
+def test_append_mode_emits_exactly_below_watermark(spark, tmp_path):
+    """Append + watermark: after an availableNow drain the emitted set
+    is exactly the windows whose end the final watermark (global max
+    event time - delay) passed; newer windows remain in state. Two
+    mtime-ordered waves prove late-wave data advances the watermark
+    that releases the early wave."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def wave(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "conv_id string, metric string, idx long, "
+                  "ts_epoch long, value double").coalesce(1)
+        tmp = str(tmp_path / f"_w_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/{name}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    wave([("c", "m", i, i * 30, 1.0) for i in range(20)], "a", 1000)
+    wave([("c", "m", 100 + i, 1200 + i * 30, 2.0) for i in range(10)],
+         "b", 2000)
+
+    from matrixprofile_spark.streaming.structured import (
+        stream_rollup_1m_append,
+    )
+
+    out = stream_rollup_1m_append(spark, src, query_name="t_append",
+                                  delay="601 seconds")
+    got = sorted(r.bucket_epoch for r in out.collect())
+    # global max ts = 1470, watermark = 869: buckets ending <= 869 =
+    # starts 0..540 (wave A); wave B's buckets (1200+) stay in state
+    assert got == [i * 60 for i in range(10)]
