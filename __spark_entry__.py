@@ -1197,6 +1197,26 @@ def _q_stream_rollup_1m_append(spark, sf_dir):
         query_name=f"stream_r1m_app_{_STREAM_SEQ[0]}", delay="601 seconds")
 
 
+def _q_stream_dedup_turns(spark, sf_dir):
+    """Exactly-once turn ingestion under at-least-once delivery: ~1/7 of
+    turns are redelivered as byte-identical copies;
+    dropDuplicatesWithinWatermark must emit each (conv_id, turn_idx)
+    once, so the drain equals the clean subset."""
+    import tempfile
+
+    from matrixprofile_spark.streaming.structured import stream_dedup_turns
+
+    t = _transcripts(spark, sf_dir).where(
+        F.col("conv_id") < "conv-00100"
+    ).select("conv_id", "turn_idx", "ts_epoch", "text")
+    dupes = t.where(F.col("turn_idx") % 7 == 3)
+    wd = tempfile.mkdtemp(prefix="mp_spark_ddw_")
+    t.unionAll(dupes).write.mode("overwrite").parquet(f"{wd}/src")
+    _STREAM_SEQ[0] += 1
+    return stream_dedup_turns(
+        spark, f"{wd}/src", query_name=f"stream_ddw_{_STREAM_SEQ[0]}")
+
+
 def _q_stream_mpx_incremental(spark, sf_dir):
     """STAMPI-style stateful streaming matrix profile: the chosen token
     series arrive shuffled across 8 files drained 2 per trigger (4
@@ -1673,6 +1693,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_stats": _q_stream_stateful_stats,
         "stream_sessionize": _q_stream_sessionize,
         "stream_rollup_1m_append": _q_stream_rollup_1m_append,
+        "stream_dedup_turns": _q_stream_dedup_turns,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
@@ -3952,6 +3973,11 @@ SELECT conv_id, session_idx,
        count(*) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_s
 FROM s GROUP BY 1, 2
+""".strip(),
+        "stream_dedup_turns": f"""
+WITH transcripts AS ({_T})
+SELECT conv_id, turn_idx, ts_epoch, text
+FROM transcripts WHERE conv_id < 'conv-00100'
 """.strip(),
         "stream_rollup_1m_append": f"""
 WITH {_SERIES_CTE},

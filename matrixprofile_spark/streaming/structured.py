@@ -506,3 +506,43 @@ def stream_rollup_1m_append(
         )
         q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_dedup_turns(
+    spark: SparkSession,
+    src_path: str,
+    query_name: str = "stream_dedup_turns",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once turn ingestion under at-least-once delivery:
+    dropDuplicatesWithinWatermark on the turn's natural key emits each
+    (conv_id, turn_idx) once — immediately, since the watermark bounds
+    how late a redelivery can arrive — and evicts its dedup state once
+    the watermark passes, so state is O(keys within the watermark
+    horizon), not O(all keys ever). The emitted set after an
+    availableNow drain is exactly the distinct turns (redeliveries are
+    byte-identical rows, so which copy wins is immaterial).
+    """
+    src = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx long, ts_epoch long, text string"
+        )
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_path)
+    )
+    out = (
+        src.withColumn("ts", F.timestamp_seconds(F.col("ts_epoch")))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx", "ts_epoch", "text")
+    )
+    with _state_partitions(spark, 16):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(query_name)
