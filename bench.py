@@ -485,10 +485,12 @@ def main_bench() -> dict:
 
 
 def emit(result: dict) -> None:
-    """Write the full result-so-far: one JSON line on stdout (flushed)
-    plus a BENCH_partial.json checkpoint file. The driver parses the
-    last JSON line of stdout; each line is complete and small, so a
-    timeout between emits loses only the increment, never the run."""
+    """Write the full result-so-far: one JSON line on stdout (flushed),
+    a BENCH_partial.json checkpoint file, AND a regenerated BENCH.md —
+    all three artifacts update together, so a kill between emits leaves
+    every surface consistent at the last completed increment. The
+    driver parses the last JSON line of stdout; each line is complete
+    and small."""
     line = json.dumps(result)
     print(line, flush=True)
     try:
@@ -496,6 +498,10 @@ def emit(result: dict) -> None:
             f.write(line + "\n")
     except OSError:  # pragma: no cover
         pass
+    try:
+        write_bench_md(result)
+    except Exception as exc:  # pragma: no cover
+        log(f"BENCH.md regen failed (continuing): {exc}")
 
 
 def compute_scaling(lo: dict | None, hi: dict | None, pairs_done: int,
