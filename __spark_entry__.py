@@ -1355,6 +1355,25 @@ def _q_events_sessions(spark, sf_dir):
         "conv_id", "user_id")
 
 
+def _q_lineitem_rollup_monthly(spark, sf_dir):
+    """The rollup sketch operator is series-shape-generic: lineitem
+    projects to (key, metric, ts, value) and the SAME rollup_from_raw
+    produces monthly per-supplier quantity sketches (vfirst/vlast
+    pruned: shipdate ties make order-dependent picks nondeterministic,
+    and Catalyst drops the unreferenced aggregates)."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ser = li.select(
+        F.col("l_suppkey").cast("string").alias("conv_id"),
+        F.lit("quantity").alias("metric"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " l_shipdate)").alias("ts_epoch"),
+        F.col("l_quantity").alias("value"),
+    )
+    return rollup.rollup_from_raw(ser, 2_592_000).select(
+        "conv_id", "metric", "bucket_epoch", "cnt", "vsum", "vmin",
+        "vmax", "sum_sq")
+
+
 def _q_corpus_keep(spark, sf_dir):
     """One-pass corpus filter verdict over the dup-augmented corpus:
     dedup survivor AND quality >= 0.5 AND lang = en."""
@@ -1612,6 +1631,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_1m": _q_counter_rate_1m,
         "hist_1h": _q_hist_1h,
         "corpus_keep": _q_corpus_keep,
+        "lineitem_rollup_monthly": _q_lineitem_rollup_monthly,
         "events_sessions": _q_events_sessions,
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
@@ -3796,6 +3816,17 @@ SELECT user_id, session_idx,
        count(*) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_s
 FROM s GROUP BY 1, 2
+""".strip(),
+        "lineitem_rollup_monthly": """
+SELECT CAST(l_suppkey AS VARCHAR) AS conv_id, 'quantity' AS metric,
+  CAST(FLOOR((epoch_us(l_shipdate) // 1000000) / 2592000.0) * 2592000
+       AS BIGINT) AS bucket_epoch,
+  count(l_quantity) AS cnt, sum(l_quantity) AS vsum,
+  min(l_quantity) AS vmin, max(l_quantity) AS vmax,
+  sum(l_quantity * l_quantity) AS sum_sq
+FROM lineitem
+WHERE l_quantity IS NOT NULL
+GROUP BY 1, 2, 3
 """.strip(),
         "corpus_keep": f"""
 WITH {_CORPUS_CTE},
