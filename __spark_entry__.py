@@ -214,6 +214,13 @@ def _q_gapfill_window_mean(spark, sf_dir):
                       F.round("value", 6).alias("value_r6"))
 
 
+def _q_gap_report(spark, sf_dir):
+    """The gap fillers' audit twin: per-series grid coverage BEFORE any
+    fill (observed buckets, missing holes, longest run, coverage)."""
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    return gapfill.gap_report(tok, 60)
+
+
 def _q_gapfill_interp(spark, sf_dir):
     """Linear-interpolation fill over the densified token grid: each
     NULL takes the straight line between the bracketing observations
@@ -1627,6 +1634,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "gapfill_sequential": _q_gapfill_sequential,
         "gapfill_interp": _q_gapfill_interp,
+        "gap_report": _q_gap_report,
         "downsample_m4": _q_downsample_m4,
         "counter_rate_1m": _q_counter_rate_1m,
         "hist_1h": _q_hist_1h,
@@ -3684,6 +3692,28 @@ SELECT conv_id, metric, ts_epoch,
          (PARTITION BY conv_id, metric ORDER BY ts_epoch
           ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 6) AS value_r6
 FROM j
+""".strip(),
+        "gap_report": f"""
+WITH transcripts AS ({_T}),
+b AS (
+  SELECT conv_id, 'token_count' AS metric,
+         CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS ts_epoch
+  FROM transcripts GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT conv_id, metric,
+         CAST((ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id, metric ORDER BY ts_epoch)) / 60 - 1
+           AS BIGINT) AS hole
+  FROM b
+)
+SELECT conv_id, metric,
+       count(*) AS n_observed,
+       coalesce(sum(hole), 0) AS n_missing,
+       coalesce(max(hole), 0) AS longest_gap,
+       round(count(*) / (count(*) + coalesce(sum(hole), 0)), 6)
+         AS coverage_r6
+FROM g GROUP BY 1, 2
 """.strip(),
         "gapfill_interp": f"""
 WITH transcripts AS ({_T}),

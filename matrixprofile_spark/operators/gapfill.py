@@ -263,3 +263,41 @@ def gapfill_interp(series: DataFrame, step_s: int = 60) -> DataFrame:
     return exploded.select(
         "conv_id", "metric", "ts_epoch", value.alias("value")
     )
+
+
+def gap_report(series: DataFrame, step_s: int = 60) -> DataFrame:
+    """The audit twin of the gap fillers: per (conv_id, metric), how
+    much of the step grid is missing BEFORE any fill — n_buckets
+    observed, n_missing grid holes, the longest run of consecutive
+    missing buckets, and fill_ratio. Operationally this is what decides
+    whether LOCF/interp output is trustworthy for a series, and it
+    costs one window pass + one groupBy over the BUCKETED rows (never
+    materializing the dense grid the fillers emit).
+    """
+    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucketed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
+    gaps = bucketed.select(
+        "conv_id", "metric", "ts_epoch",
+        ((F.col("ts_epoch") - F.lag("ts_epoch").over(w)) / step_s - 1)
+        .cast("bigint").alias("_hole"),
+    )
+    return (
+        gaps.groupBy("conv_id", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_observed"),
+            F.coalesce(F.sum("_hole"), F.lit(0)).alias("n_missing"),
+            F.coalesce(F.max("_hole"), F.lit(0)).alias("longest_gap"),
+        )
+        .select(
+            "conv_id", "metric", "n_observed", "n_missing", "longest_gap",
+            F.round(
+                F.col("n_observed")
+                / (F.col("n_observed") + F.col("n_missing")), 6
+            ).alias("coverage_r6"),
+        )
+    )
