@@ -1186,9 +1186,14 @@ def _q_stream_rollup_1m_append(spark, sf_dir):
     emission mode (complete-mode twin: stream_rollup_1m). Emitted rows
     are exactly the windows the final watermark passed:
     window.end <= max(event ts) - delay; newer windows stay in state by
-    design. delay = 601 s (not a bucket multiple) so the emission
-    boundary never coincides with a window end and the oracle predicate
-    is unambiguous."""
+    design. Spark's eviction predicate is inclusive (window.end ==
+    watermark emits — verified empirically), matching the oracle's <=.
+    The source is written as ONE file: a single-batch drain trivially
+    satisfies the watermark arrival contract (no row can arrive behind
+    a watermark a prior batch advanced), so the emitted set equals the
+    below-watermark rollup of ALL rows under any trigger config — a
+    time-disordered multi-file backlog would shed its out-of-order tail
+    instead (see stream_rollup_1m_append's ARRIVAL CONTRACT)."""
     import tempfile
 
     from matrixprofile_spark.streaming.structured import (
@@ -1197,7 +1202,7 @@ def _q_stream_rollup_1m_append(spark, sf_dir):
 
     ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
     wd = tempfile.mkdtemp(prefix="mp_spark_app_")
-    ser.write.mode("overwrite").parquet(f"{wd}/src")
+    ser.coalesce(1).write.mode("overwrite").parquet(f"{wd}/src")
     _STREAM_SEQ[0] += 1
     return stream_rollup_1m_append(
         spark, f"{wd}/src",
@@ -1208,7 +1213,11 @@ def _q_stream_dedup_turns(spark, sf_dir):
     """Exactly-once turn ingestion under at-least-once delivery: ~1/7 of
     turns are redelivered as byte-identical copies;
     dropDuplicatesWithinWatermark must emit each (conv_id, turn_idx)
-    once, so the drain equals the clean subset."""
+    once, so the drain equals the clean subset. This is a historical
+    BACKFILL (hash-partitioned files, time-disordered), so delay spans
+    the whole backlog (~1.5 days of events) — otherwise originals
+    arriving behind an already-advanced watermark would drop as late
+    under multi-batch drains (the operator's arrival contract)."""
     import tempfile
 
     from matrixprofile_spark.streaming.structured import stream_dedup_turns
@@ -1221,7 +1230,8 @@ def _q_stream_dedup_turns(spark, sf_dir):
     t.unionAll(dupes).write.mode("overwrite").parquet(f"{wd}/src")
     _STREAM_SEQ[0] += 1
     return stream_dedup_turns(
-        spark, f"{wd}/src", query_name=f"stream_ddw_{_STREAM_SEQ[0]}")
+        spark, f"{wd}/src", query_name=f"stream_ddw_{_STREAM_SEQ[0]}",
+        delay="30 days")
 
 
 def _q_stream_mpx_incremental(spark, sf_dir):

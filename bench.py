@@ -724,8 +724,14 @@ def write_bench_md(result: dict) -> None:
             "are a lower bound on executor-count scaling for every "
             "stage that is not pure ALU.",
         ]
-    else:
+    elif not RUN_SCALING:
         lines.append("(scaling probe skipped: SPARK_GRAFT_SCALING=0)")
+    else:
+        lines.append("(scaling probes enabled but no completed (lo, hi) "
+                     "pair yet — this file regenerates after every pair; "
+                     "if it still says this, the run was killed during "
+                     "pair 1 and BENCH_partial.json holds the query-phase "
+                     "result)")
     lines.append("")
     with open(os.path.join(HERE, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
@@ -737,5 +743,4 @@ if __name__ == "__main__":
         print(json.dumps(res), flush=True)
     else:
         res = main_bench()
-        write_bench_md(res)
-        emit(res)
+        emit(res)  # emit() also regenerates BENCH.md

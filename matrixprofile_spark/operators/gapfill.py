@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _bucket(step_s: int):
+    """Grid-bucket expression shared by every function here — the
+    fillers and their gap_report audit must bucket identically or the
+    audit silently disagrees with what was filled."""
+    return (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+
+
+
 def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
     """Densify to a step_s-spaced grid per (conv_id, metric).
 
@@ -38,7 +46,7 @@ def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
     floor(ts/step): if several raw points share a bucket the mean is
     taken (deterministic: integer sums).
     """
-    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucket = _bucket(step_s)
     bucketed = (
         series.where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
@@ -68,7 +76,7 @@ def gapfill_locf(
     each row *generates its own gap* inline (sequence over the missing
     buckets carries the lagged value forward / this value backward).
     Two exchanges total, no join, nothing scans raw twice."""
-    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucket = _bucket(step_s)
     bucketed = (
         series.where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
@@ -231,7 +239,7 @@ def gapfill_interp(series: DataFrame, step_s: int = 60) -> DataFrame:
     endpoints are observed buckets by construction, so fill_interp's
     one-sided fallbacks never trigger here.
     """
-    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucket = _bucket(step_s)
     bucketed = (
         series.where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
@@ -274,7 +282,7 @@ def gap_report(series: DataFrame, step_s: int = 60) -> DataFrame:
     costs one window pass + one groupBy over the BUCKETED rows (never
     materializing the dense grid the fillers emit).
     """
-    bucket = (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
+    bucket = _bucket(step_s)
     bucketed = (
         series.where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))

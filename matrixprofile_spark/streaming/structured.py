@@ -465,11 +465,19 @@ def stream_rollup_1m_append(
     STILL IN STATE when an availableNow drain ends — by design; callers
     needing them flush via a final complete-mode drain or the batch
     rollup.
+
+    ARRIVAL CONTRACT (the standard watermark contract, stated
+    explicitly because a parquet directory makes it easy to violate):
+    a row older than the watermark already advanced by PRIOR batches is
+    dropped from its window — that is the late-data path, not a bug.
+    The drained output equals the below-watermark rollup of ALL rows
+    only when arrival order respects the delay (as a Kafka-style
+    roughly-ordered source does). A time-disordered multi-file backlog
+    drained in several batches WILL shed its out-of-order tail; callers
+    wanting exact backlog semantics feed one batch (single file) or a
+    time-sliced, mtime-ordered layout.
     """
     v = F.col("value")
-    # batching does not affect the final emission set (the last batch's
-    # watermark is always global-max - delay), so drain 8 files per
-    # trigger like the siblings rather than paying per-file batches
     src = (
         spark.readStream.schema(SERIES_SCHEMA)
         .option("maxFilesPerTrigger", 8)
@@ -513,6 +521,7 @@ def stream_dedup_turns(
     src_path: str,
     query_name: str = "stream_dedup_turns",
     delay: str = "1 hour",
+    files_per_trigger: int = 8,
 ) -> DataFrame:
     """Exactly-once turn ingestion under at-least-once delivery:
     dropDuplicatesWithinWatermark on the turn's natural key emits each
@@ -521,13 +530,19 @@ def stream_dedup_turns(
     the watermark passes, so state is O(keys within the watermark
     horizon), not O(all keys ever). The emitted set after an
     availableNow drain is exactly the distinct turns (redeliveries are
-    byte-identical rows, so which copy wins is immaterial).
+    byte-identical rows, so which copy wins is immaterial) PROVIDED no
+    original row arrives behind a watermark earlier batches already
+    advanced — originals below the watermark are dropped as late, the
+    same arrival contract as every watermarked operator. For a
+    historical backfill (time-disordered files), size ``delay`` to the
+    backlog's span; a continuous job sizes it to the real redelivery
+    horizon.
     """
     src = (
         spark.readStream.schema(
             "conv_id string, turn_idx long, ts_epoch long, text string"
         )
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(src_path)
     )
     out = (

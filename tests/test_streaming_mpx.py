@@ -150,3 +150,40 @@ def test_append_mode_emits_exactly_below_watermark(spark, tmp_path):
     # global max ts = 1470, watermark = 869: buckets ending <= 869 =
     # starts 0..540 (wave A); wave B's buckets (1200+) stay in state
     assert got == [i * 60 for i in range(10)]
+
+
+def test_dedup_turns_backlog_survives_disordered_multibatch(spark, tmp_path):
+    """A time-disordered backfill drained one file per trigger must NOT
+    lose originals, provided delay spans the backlog (the arrival
+    contract the query wrapper documents): newest-first arrival pushes
+    the watermark up immediately, and only a wide-enough delay keeps
+    older originals above it."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def one_file(rows, name, mtime):
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx long, ts_epoch long, "
+                  "text string").coalesce(1)
+        tmp = str(tmp_path / f"_w_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/{name}.parquet")
+        os.utime(f"{src}/{name}.parquet", (mtime, mtime))
+
+    # newest event first, oldest last — worst case for the watermark;
+    # turn 9 duplicated across files 1 and 3
+    one_file([("c", 9, 100_000, "x")], "a", 1000)
+    one_file([("c", 8, 100_001, "y")], "b", 2000)
+    one_file([("c", 1, 10, "z"), ("c", 9, 100_000, "x")], "d", 3000)
+
+    from matrixprofile_spark.streaming.structured import stream_dedup_turns
+
+    out = stream_dedup_turns(spark, src, query_name="t_ddw_dis",
+                             delay="30 days", files_per_trigger=1)
+    got = sorted((r.conv_id, r.turn_idx) for r in out.collect())
+    assert got == [("c", 1), ("c", 8), ("c", 9)]
