@@ -258,6 +258,25 @@ def _q_asof_tool_context(spark, sf_dir):
         (F.col("ts_epoch") - F.col("ts_epoch_r")).alias("wait_s"))
 
 
+def _q_asof_next_user_turn(spark, sf_dir):
+    """Forward as-of join: each assistant turn matched to the EARLIEST
+    user turn at-or-after it in the same conversation (time-to-reply);
+    exercises the operator's forward path under the oracle (backward is
+    covered by asof_tool_context)."""
+    from matrixprofile_spark.operators import temporal as T
+
+    t = _transcripts(spark, sf_dir)
+    left = t.where(F.col("role") == "assistant").select(
+        "conv_id", "turn_idx", "ts_epoch")
+    right = t.where(F.col("role") == "user").select(
+        "conv_id", "turn_idx", "ts_epoch")
+    out = T.asof_join(left, right, keys=["conv_id"], ts_col="ts_epoch",
+                      payload_cols=["turn_idx"], direction="forward")
+    return out.select(
+        "conv_id", "turn_idx", "ts_epoch", "turn_idx_r", "ts_epoch_r",
+        (F.col("ts_epoch_r") - F.col("ts_epoch")).alias("reply_after_s"))
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup (the brief's third dedup family):
     rare-shingle blocking (df <= 20) bounds candidate fan-out, then
@@ -1657,6 +1676,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
         "asof_tool_context": _q_asof_tool_context,
+        "asof_next_user_turn": _q_asof_next_user_turn,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_stats": _q_rollup_1h_stats,
@@ -4090,6 +4110,18 @@ g AS (
 SELECT conv_id, start_ts, end_ts, n_turns,
        end_ts - start_ts AS span_s
 FROM g
+""".strip(),
+        "asof_next_user_turn": f"""
+WITH transcripts AS ({_T}),
+l AS (SELECT conv_id, turn_idx, ts_epoch FROM transcripts
+      WHERE role = 'assistant'),
+r0 AS (SELECT conv_id, ts_epoch, max(turn_idx) AS turn_idx
+       FROM transcripts WHERE role = 'user' GROUP BY 1, 2)
+SELECT l.conv_id, l.turn_idx, l.ts_epoch,
+       r0.turn_idx AS turn_idx_r, r0.ts_epoch AS ts_epoch_r,
+       r0.ts_epoch - l.ts_epoch AS reply_after_s
+FROM l ASOF LEFT JOIN r0
+  ON l.conv_id = r0.conv_id AND l.ts_epoch <= r0.ts_epoch
 """.strip(),
         "asof_tool_context": f"""
 WITH transcripts AS ({_T}),
