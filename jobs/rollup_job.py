@@ -19,6 +19,9 @@ streaming    continuously-running raw→1m via Structured Streaming
 refresh      continuous-aggregate maintenance under late data
              (operators/rollup.refresh_rollup): invalidated buckets
              recompute from raw, untouched buckets carry over
+retention    drop fine-tier day partitions past their keep windows
+             (raw/1m/1h; 1d kept), each drop recorded in the manifest
+             as lineage; requires an explicit --now-epoch
 
 Example (local smoke, same command shape as a cluster run):
 
@@ -119,6 +122,23 @@ def run_refresh(spark, args) -> dict:
             "rollup_1m_rows": n, "invalidated_buckets": n_invalid}
 
 
+def run_retention(spark, args) -> dict:
+    """Retention maintenance: drop fine-tier day partitions older than
+    their keep window (raw < 1m < 1h — the 1d tier is kept forever
+    here). Drops are appended to the manifest as lineage, so a reader
+    can distinguish 'expired by policy' from 'never committed'."""
+    from matrixprofile_spark.streaming import incremental as INC
+
+    t0 = time.time()
+    dropped = INC.apply_retention(
+        args.workdir, args.now_epoch,
+        keep_raw_s=args.keep_raw_s, keep_1m_s=args.keep_1m_s,
+        keep_1h_s=args.keep_1h_s)
+    return {"mode": "retention", "wall_sec": round(time.time() - t0, 2),
+            "dropped_days": dropped,
+            "manifest_rows": len(INC.load_manifest(args.workdir))}
+
+
 def run_streaming(spark, args) -> dict:
     from matrixprofile_spark.streaming.structured import stream_rollup_1m
 
@@ -135,7 +155,8 @@ def run_streaming(spark, args) -> dict:
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--mode",
-                   choices=["batch", "incremental", "streaming", "refresh"],
+                   choices=["batch", "incremental", "streaming", "refresh",
+                            "retention"],
                    default="batch")
     p.add_argument("--input", help="transcripts parquet dir "
                    "(conv_id, turn_idx, role, text, tool, ts_epoch)")
@@ -146,14 +167,22 @@ def main() -> None:
     p.add_argument("--max-days-per-stage", type=int, default=None,
                    help="incremental: stop after N days per stage "
                    "(kill/resume simulation)")
+    p.add_argument("--now-epoch", type=int, default=None,
+                   help="retention: 'now' in epoch seconds (explicit, "
+                   "so runs are reproducible)")
+    p.add_argument("--keep-raw-s", type=int, default=86_400)
+    p.add_argument("--keep-1m-s", type=int, default=3 * 86_400)
+    p.add_argument("--keep-1h-s", type=int, default=6 * 86_400)
     args = p.parse_args()
 
     from matrixprofile_spark.session import get_submit_spark
 
     spark = get_submit_spark(f"rollup_job_{args.mode}")
     os.makedirs(args.workdir, exist_ok=True)
+    if args.mode == "retention" and args.now_epoch is None:
+        p.error("--mode retention requires --now-epoch")
     result = {"batch": run_batch, "incremental": run_incremental,
-              "refresh": run_refresh,
+              "refresh": run_refresh, "retention": run_retention,
               "streaming": run_streaming}[args.mode](spark, args)
     with open(os.path.join(args.workdir, "metrics.json"), "w") as f:
         json.dump(result, f)

@@ -260,6 +260,15 @@ def read_tier_as_of(
         if not os.path.isdir(base):
             return spark.createDataFrame([], TIER_SCHEMA)
         return spark.read.parquet(base).drop("day").limit(0)
+    # a day visible at this snapshot but deleted by retention since:
+    # refuse loudly (Iceberg's expired-snapshot behavior) — silently
+    # returning the surviving subset would misrepresent the snapshot
+    expired = [d for d in days
+               if not os.path.isdir(os.path.join(base, f"day={d}"))]
+    if expired:
+        raise FileNotFoundError(
+            f"snapshot {snapshot_seq} of stage '{stage}' includes day "
+            f"partitions expired by retention since: {expired}")
     paths = [os.path.join(base, f"day={d}") for d in days]
     return (
         spark.read.option("basePath", base).parquet(*paths).drop("day")
@@ -318,7 +327,11 @@ def apply_retention(
     """Drop expired fine-tier day partitions (the maintenance DELETE).
 
     Day d of a tier expires when its newest point (d+1)*DAY_S is older
-    than now − keep. Returns the dropped partitions per table."""
+    than now − keep. Returns the dropped partitions per table. Each
+    drop appends a ``retention`` manifest row (lineage: a reader can
+    tell 'expired by policy' from 'never committed'; Iceberg's
+    delete-snapshot analogue), and read_tier_as_of refuses expired days
+    loudly instead of returning partial data."""
     dropped: dict[str, list[int]] = {}
     for table, keep in (("raw", keep_raw_s), ("rollup_1m", keep_1m_s),
                         ("rollup_1h", keep_1h_s)):
@@ -333,5 +346,13 @@ def apply_retention(
             if (day + 1) * DAY_S < now_epoch - keep:
                 shutil.rmtree(os.path.join(path, d))
                 gone.append(day)
+                _append_manifest(workdir, {
+                    "stage": "retention",
+                    "partition_key": f"{table}/day={day}",
+                    "watermark_epoch": now_epoch,
+                    "rows": 0,
+                    "bytes": 0,
+                    "snapshot_id": f"retention-{table}-{day}",
+                })
         dropped[table] = sorted(gone)
     return dropped

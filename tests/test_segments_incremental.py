@@ -276,3 +276,29 @@ def test_time_travel_snapshot_isolation(spark, transcripts, tmp_path):
     empty_1h = INC.read_tier_as_of(spark, wd2, "1h", snapshot_seq=1)
     assert empty_1h.count() == 0
     assert "bucket_epoch" in empty_1h.columns
+
+
+def test_retention_records_lineage_and_time_travel_refuses(
+        spark, transcripts, tmp_path):
+    ser = S.project_series(transcripts)
+    wd = str(tmp_path / "ret")
+    INC.write_series_source(ser, wd)
+    INC.run_incremental_rollup(spark, wd)
+    manifest_before = len(INC.load_manifest(wd))
+    m1_days = sorted(int(e["partition_key"])
+                     for e in INC.load_manifest(wd) if e["stage"] == "1m")
+    # pick 'now' so exactly the oldest 1m day expires
+    now = (m1_days[0] + 2) * INC.DAY_S + 1
+    dropped = INC.apply_retention(wd, now, keep_raw_s=0,
+                                  keep_1m_s=INC.DAY_S,
+                                  keep_1h_s=10 * INC.DAY_S)
+    assert dropped["rollup_1m"] == [m1_days[0]]
+    ret_rows = [e for e in INC.load_manifest(wd)
+                if e["stage"] == "retention"]
+    assert len(INC.load_manifest(wd)) == manifest_before + len(ret_rows)
+    assert any(e["partition_key"] == f"rollup_1m/day={m1_days[0]}"
+               for e in ret_rows)
+    # a snapshot that includes the expired day refuses loudly
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="expired by retention"):
+        INC.read_tier_as_of(spark, wd, "1m", snapshot_seq=1)
