@@ -366,6 +366,13 @@ def _q_top_tools_1h(spark, sf_dir):
     return S.top_tools(_transcripts(spark, sf_dir), 3600, 3)
 
 
+def _q_metric_corr(spark, sf_dir):
+    """Per-conversation latency×token-count Pearson correlation from
+    exact raw sums (bit-deterministic cross-engine; corr() streaming
+    moments are not)."""
+    return S.metric_corr(_transcripts(spark, sf_dir))
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1672,6 +1679,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _q_events_sessions,
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
+        "metric_corr": _q_metric_corr,
         "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
@@ -3947,6 +3955,27 @@ SELECT conv_id, 'token_count' AS metric,
        CAST(FLOOR(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) AS bin,
        count(*) AS cnt
 FROM transcripts GROUP BY 1, 2, 3, 4
+""".strip(),
+        "metric_corr": f"""
+WITH transcripts AS ({_T}),
+xy AS (
+  SELECT conv_id,
+         CAST(ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE) AS x,
+         CAST(length(text) AS DOUBLE) AS y
+  FROM transcripts
+),
+a AS (
+  SELECT conv_id, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT conv_id, CAST(n AS BIGINT) AS n_turns,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_r6
+FROM a
 """.strip(),
         "top_tools_1h": f"""
 WITH transcripts AS ({_T}),

@@ -134,3 +134,37 @@ def top_tools(transcripts: DataFrame, bucket_s: int = 3600,
             F.row_number().over(w).alias("rank"),
         ).where(F.col("rank") <= k)
     )
+
+
+def metric_corr(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation Pearson correlation between the latency and
+    token-count series (does a conversation slow down when turns get
+    long?). Computed from EXPLICIT raw sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    rather than the engines' corr() aggregates: on integer-valued
+    metrics every sum is exact in float64 regardless of partial-agg
+    order, so the final one-expression formula is bit-deterministic and
+    cross-engine comparable — corr() implementations (streaming central
+    moments) are not. Zero-variance series yield NULL (0/0), same
+    expression both sides. One codegen groupBy, one exchange.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    xy = transcripts.select(
+        "conv_id",
+        (F.col("ts_epoch") - F.lag("ts_epoch").over(w))
+        .cast("double").alias("x"),
+        F.length("text").cast("double").alias("y"),
+    ).where(F.col("x").isNotNull())
+    agg = xy.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+    return agg.select(
+        "conv_id", n.cast("bigint").alias("n_turns"),
+        F.round(num / den, 6).alias("corr_r6"),
+    )
