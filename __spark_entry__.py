@@ -366,6 +366,12 @@ def _q_top_tools_1h(spark, sf_dir):
     return S.top_tools(_transcripts(spark, sf_dir), 3600, 3)
 
 
+def _q_acf_token(spark, sf_dir):
+    """Token-series autocorrelation, lags 1..5 per conversation, from
+    exact raw sums (one shared window sort, struct-array explode)."""
+    return S.acf(S.token_count_series(_transcripts(spark, sf_dir)), 5)
+
+
 def _q_metric_corr(spark, sf_dir):
     """Per-conversation latency×token-count Pearson correlation from
     exact raw sums (bit-deterministic cross-engine; corr() streaming
@@ -1680,6 +1686,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
         "metric_corr": _q_metric_corr,
+        "acf_token": _q_acf_token,
         "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
@@ -3955,6 +3962,33 @@ SELECT conv_id, 'token_count' AS metric,
        CAST(FLOOR(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) AS bin,
        count(*) AS cnt
 FROM transcripts GROUP BY 1, 2, 3, 4
+""".strip(),
+        "acf_token": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, turn_idx AS idx,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+pairs AS (
+  SELECT conv_id, metric, l.lag, value AS x,
+         lead(value, l.lag) OVER
+           (PARTITION BY conv_id, metric, l.lag ORDER BY idx) AS y
+  FROM tok, (SELECT unnest(range(1, 6)) AS lag) l
+),
+a AS (
+  SELECT conv_id, metric, CAST(lag AS INT) AS lag,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs WHERE x IS NOT NULL AND y IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT conv_id, metric, lag, CAST(n AS BIGINT) AS n_pairs,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS acf_r6
+FROM a
 """.strip(),
         "metric_corr": f"""
 WITH transcripts AS ({_T}),

@@ -168,3 +168,51 @@ def metric_corr(transcripts: DataFrame) -> DataFrame:
         "conv_id", n.cast("bigint").alias("n_turns"),
         F.round(num / den, 6).alias("corr_r6"),
     )
+
+
+def acf(series: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Autocorrelation function per (conv_id, metric) for lags
+    1..max_lag (Box–Jenkins diagnostics — the classical companion to
+    the matrix profile's shape-based self-similarity). Pearson over the
+    overlapping pairs (x_t, x_{t+lag}), from explicit exact sums like
+    metric_corr, so the result is bit-deterministic cross-engine.
+
+    All max_lag leads share ONE window sort (same partition/order
+    spec); the per-lag pairs then stack via a struct-array explode, so
+    the plan is one exchange for the window + the ACF groupBy — not
+    max_lag self-joins.
+    """
+    w = Window.partitionBy("conv_id", "metric").orderBy("idx")
+    # leads materialize as plain window columns first — Spark rejects
+    # window expressions inside a generator — then stack via explode
+    lead_cols = [
+        F.lead("value", lag).over(w).alias(f"_y{lag}")
+        for lag in range(1, max_lag + 1)
+    ]
+    base = series.select(
+        "conv_id", "metric", F.col("value").alias("x"), *lead_cols)
+    stacked = F.array(*[
+        F.struct(F.lit(lag).alias("lag"), F.col(f"_y{lag}").alias("y"))
+        for lag in range(1, max_lag + 1)
+    ])
+    pairs = (
+        base.select("conv_id", "metric", "x",
+                    F.explode(stacked).alias("p"))
+        .select("conv_id", "metric", F.col("p.lag").alias("lag"),
+                "x", F.col("p.y").alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    agg = pairs.groupBy("conv_id", "metric", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+    return agg.select(
+        "conv_id", "metric", "lag", n.cast("bigint").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf_r6"),
+    )
