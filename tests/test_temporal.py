@@ -256,3 +256,26 @@ def test_gapfill_interp_fused_equals_composed(spark):
     # and the fused plan has no join and at most 2 exchanges
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and plan.count("Exchange") <= 2
+
+
+def test_metric_corr_and_acf_exact_cases(spark):
+    from matrixprofile_spark.operators import series as S2
+
+    # latency gaps 10,20,30 and token lengths exactly tracking them:
+    # ts = 0,10,30,60; text lengths 1,2,4,6 → x=(10,20,30), y=(2,4,6)
+    # perfectly linear → corr = 1
+    rows = [("c", 0, "a", 0), ("c", 1, "ab", 10),
+            ("c", 2, "abcd", 30), ("c", 3, "abcdef", 60)]
+    t = spark.createDataFrame(
+        [(c, i, txt, ts) for c, i, txt, ts in rows],
+        "conv_id string, turn_idx long, text string, ts_epoch long")
+    [r] = S2.metric_corr(t).collect()
+    assert (r.n_turns, r.corr_r6) == (3, 1.0)
+
+    # ACF of a strictly alternating series at lag 1 is -1, lag 2 is +1
+    ser = spark.createDataFrame(
+        [("c", "m", i, i, float(1 if i % 2 else -1)) for i in range(40)],
+        "conv_id string, metric string, idx long, ts_epoch long, "
+        "value double")
+    out = {r.lag: r.acf_r6 for r in S2.acf(ser, 2).collect()}
+    assert out == {1: -1.0, 2: 1.0}
