@@ -366,6 +366,14 @@ def _q_top_tools_1h(spark, sf_dir):
     return S.top_tools(_transcripts(spark, sf_dir), 3600, 3)
 
 
+def _q_seasonal_w12(spark, sf_dir):
+    """Classical additive decomposition of the token series, period 12:
+    centered 13-point MA trend, per-phase seasonal means, residual —
+    integer-scaled so every mean is exact-sum deterministic."""
+    return S.seasonal_decompose(
+        S.token_count_series(_transcripts(spark, sf_dir)), 12)
+
+
 def _q_acf_token(spark, sf_dir):
     """Token-series autocorrelation, lags 1..5 per conversation, from
     exact raw sums (one shared window sort, struct-array explode)."""
@@ -1687,6 +1695,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tools_1h": _q_top_tools_1h,
         "metric_corr": _q_metric_corr,
         "acf_token": _q_acf_token,
+        "seasonal_w12": _q_seasonal_w12,
         "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
@@ -3962,6 +3971,34 @@ SELECT conv_id, 'token_count' AS metric,
        CAST(FLOOR(CAST(length(text) AS DOUBLE) / 100.0) AS BIGINT) AS bin,
        count(*) AS cnt
 FROM transcripts GROUP BY 1, 2, 3, 4
+""".strip(),
+        "seasonal_w12": f"""
+WITH transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, 'token_count' AS metric, turn_idx AS idx,
+         CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+b AS (
+  SELECT conv_id, metric, idx, value, idx % 12 AS phase,
+    CASE WHEN count(value) OVER w13 = 13
+         THEN 13 * value - sum(value) OVER w13 END AS d,
+    CASE WHEN count(value) OVER w13 = 13
+         THEN sum(value) OVER w13 END AS s
+  FROM tok
+  WINDOW w13 AS (PARTITION BY conv_id, metric ORDER BY idx
+                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+c AS (
+  SELECT conv_id, metric, idx, s, d,
+         avg(d) OVER (PARTITION BY conv_id, metric, phase) AS seas_d
+  FROM b
+)
+SELECT conv_id, metric, idx,
+       round(s / 13, 6) AS trend_r6,
+       round(seas_d / 13, 6) AS seasonal_r6,
+       round((d - seas_d) / 13, 6) AS resid_r6
+FROM c
 """.strip(),
         "acf_token": f"""
 WITH transcripts AS ({_T}),

@@ -216,3 +216,44 @@ def acf(series: DataFrame, max_lag: int = 5) -> DataFrame:
         "conv_id", "metric", "lag", n.cast("bigint").alias("n_pairs"),
         F.round(num / den, 6).alias("acf_r6"),
     )
+
+
+def seasonal_decompose(series: DataFrame, period: int = 12) -> DataFrame:
+    """Additive seasonal decomposition by the classical moving-average
+    + seasonal-means method: trend = centered (period+1)-point moving
+    average (defined only where the window is full), seasonal = per-
+    phase (idx mod period) mean of the detrended points, residual =
+    detrended − seasonal.
+
+    Cross-engine determinism trick: the detrended value is kept as the
+    INTEGER-valued double D = (p+1)·x − Σwindow (exact: integer metric
+    × integer window sum), so every downstream mean is an exact-sum
+    division — no accumulation-order sensitivity — and only the final
+    rounded projections divide back by (p+1). Two window passes that
+    share nothing (series order, then phase partition) + a projection:
+    two exchanges, all codegen.
+    """
+    h = period // 2
+    width = 2 * h + 1
+    w = Window.partitionBy("conv_id", "metric").orderBy("idx")
+    frame = w.rowsBetween(-h, h)
+    cnt = F.count("value").over(frame)
+    s = F.sum("value").over(frame)
+    base = series.select(
+        "conv_id", "metric", "idx",
+        F.col("value"),
+        (F.col("idx") % period).alias("phase"),
+        # D = width*x - S, exact whenever x is integer-valued; NULL at
+        # partition edges (incomplete window) like the classical method
+        F.when(cnt == width,
+               width * F.col("value") - s).alias("d"),
+        F.when(cnt == width, s).alias("s"),
+    )
+    wp = Window.partitionBy("conv_id", "metric", "phase")
+    seas_d = F.avg("d").over(wp)  # exact-sum mean of integer doubles
+    return base.select(
+        "conv_id", "metric", "idx",
+        F.round(F.col("s") / width, 6).alias("trend_r6"),
+        F.round(seas_d / width, 6).alias("seasonal_r6"),
+        F.round((F.col("d") - seas_d) / width, 6).alias("resid_r6"),
+    )

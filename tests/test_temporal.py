@@ -279,3 +279,23 @@ def test_metric_corr_and_acf_exact_cases(spark):
         "value double")
     out = {r.lag: r.acf_r6 for r in S2.acf(ser, 2).collect()}
     assert out == {1: -1.0, 2: 1.0}
+
+
+def test_seasonal_decompose_constant_and_ramp(spark):
+    from matrixprofile_spark.operators import series as S2
+
+    # constant: trend = c, seasonal = 0, residual = 0 (interior points)
+    # linear ramp: centered MA of a line is the line itself → same
+    rows = [("c", "m", i, i, 7.0) for i in range(30)]
+    rows += [("r", "m", i, i, float(3 * i)) for i in range(30)]
+    ser = spark.createDataFrame(
+        rows, "conv_id string, metric string, idx long, ts_epoch long, "
+              "value double")
+    out = S2.seasonal_decompose(ser, 12).collect()
+    for r in out:
+        if r.trend_r6 is None:
+            assert r.idx < 6 or r.idx > 23  # only edge rows undefined
+            continue
+        want = 7.0 if r.conv_id == "c" else 3.0 * r.idx
+        assert r.trend_r6 == want
+        assert r.seasonal_r6 == 0.0 and r.resid_r6 == 0.0
