@@ -303,9 +303,12 @@ def gap_report(series: DataFrame, step_s: int = 60) -> DataFrame:
         )
         .select(
             "conv_id", "metric", "n_observed", "n_missing", "longest_gap",
-            F.round(
-                F.col("n_observed")
-                / (F.col("n_observed") + F.col("n_missing")), 6
-            ).alias("coverage_r6"),
+            # Integer ppm, not round(double, 6): Spark rounds via exact
+            # BigDecimal HALF_UP while DuckDB rounds in binary, so the two
+            # can land on adjacent doubles.  Integer DIV is engine-exact.
+            F.expr(
+                "(n_observed * CAST(1000000 AS BIGINT))"
+                " DIV (n_observed + n_missing)"
+            ).cast("bigint").alias("coverage_ppm"),
         )
     )

@@ -152,6 +152,42 @@ def test_append_mode_emits_exactly_below_watermark(spark, tmp_path):
     assert got == [i * 60 for i in range(10)]
 
 
+def test_append_mode_boundary_bucket_at_watermark_equality(spark, tmp_path):
+    """Pin the eviction boundary the oracle leans on: a window whose
+    end EQUALS the final watermark is emitted (inclusive <=, matching
+    the oracle's `bucket_epoch + 60 <= wm`). Fixture: max ts 1801,
+    delay 601 -> watermark exactly 1200, a bucket end. If a Spark
+    version ever flips this to strict <, THIS test goes red before the
+    driver's gate does."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [("c", "m", i, ts, 1.0)
+            for i, ts in enumerate(list(range(0, 1801, 30)) + [1801])]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, idx long, "
+              "ts_epoch long, value double").coalesce(1)
+    tmp = str(tmp_path / "_w_bound")
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0],
+                f"{src}/a.parquet")
+
+    from matrixprofile_spark.streaming.structured import (
+        stream_rollup_1m_append,
+    )
+
+    out = stream_rollup_1m_append(spark, src, query_name="t_append_bound",
+                                  delay="601 seconds")
+    got = sorted(r.bucket_epoch for r in out.collect())
+    # watermark = 1801 - 601 = 1200: bucket [1140,1200) ends exactly AT
+    # the watermark and must be emitted; [1200,1260) must stay in state.
+    assert 1140 in got and 1200 not in got
+    assert got == [i * 60 for i in range(20)]
+
+
 def test_dedup_turns_backlog_survives_disordered_multibatch(spark, tmp_path):
     """A time-disordered backfill drained one file per trigger must NOT
     lose originals, provided delay spans the backlog (the arrival
