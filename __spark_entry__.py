@@ -1189,6 +1189,32 @@ def _q_profile_json_roundtrip(spark, sf_dir):
     )
 
 
+def _q_mpf_roundtrip(spark, sf_dir):
+    """read_profiles_mpf(write_profiles_mpf(mpx profiles)) — the
+    from-scratch proto3 wire codec (io/mpf.py; reference format
+    proto_messages.proto:69-111) must preserve every profile value
+    bit-exactly, so the round-tripped table shares the MPX brute-force
+    oracle (same pattern as profile_json_roundtrip)."""
+    import tempfile
+
+    from matrixprofile_spark.io.mpf import (
+        read_profiles_mpf,
+        write_profiles_mpf,
+    )
+
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.mpx_profiles(chosen, _MPX_W, packed=True, n_groups=5)
+    path = tempfile.mkdtemp(prefix="mp_spark_mpf_") + "/profiles"
+    write_profiles_mpf(prof, path)
+    back = read_profiles_mpf(spark, path)
+    return back.select(
+        "conv_id", F.posexplode("mp").alias("idx", "dist")
+    ).select(
+        "conv_id", F.col("idx").cast("bigint").alias("idx"),
+        F.round("dist", 2).alias("dist_r2"),
+    )
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1783,6 +1809,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rollup_1m_append": _q_stream_rollup_1m_append,
         "stream_dedup_turns": _q_stream_dedup_turns,
         "profile_json_roundtrip": _q_profile_json_roundtrip,
+        "mpf_roundtrip": _q_mpf_roundtrip,
         "prescrimp_w16": _q_prescrimp_w16,
         "rollup_1h": _q_rollup("1h"),
     }
@@ -4403,6 +4430,7 @@ WHERE bucket_epoch < now - {_KEEP_1H}
     # the JSON io layer must be value-preserving: the round-tripped MPX
     # profile shares the brute-force oracle verbatim
     out["profile_json_roundtrip"] = out["mpx_w16"]
+    out["mpf_roundtrip"] = out["mpx_w16"]
     # the drained incremental stream must equal the batch profile
     out["stream_mpx_incremental"] = out["mpx_w16"]
     out["motifs_top3"] = _motifs_oracle_sql()
