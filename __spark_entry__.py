@@ -387,6 +387,77 @@ def _q_metric_corr(spark, sf_dir):
     return S.metric_corr(_transcripts(spark, sf_dir))
 
 
+def _q_anomaly_z16(spark, sf_dir):
+    """Rolling z-score anomaly flags (trailing 16, z=3) on both metric
+    series; the z² inequality is cleared of division so the BOOLEAN is
+    integer-exact cross-engine (no round(double) anywhere)."""
+    from matrixprofile_spark.operators import detect as DT
+
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    return DT.anomaly_zscore(ser, w=16, z=3)
+
+
+def _q_ewma_q4(spark, sf_dir):
+    """Per-row EWMA (α=1/4) of the 5 chosen token series via a Catalyst
+    aggregate fold; the oracle replays the SAME IEEE op sequence in a
+    recursive CTE, so even rounded states match bit-for-bit."""
+    from matrixprofile_spark.operators import detect as DT
+
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    ids = _chosen_token_series(spark, sf_dir).select("conv_id", "metric")
+    return DT.ewma(tok.join(ids, ["conv_id", "metric"]))
+
+
+def _q_cusum_shift(spark, sf_dir):
+    """Two-sided CUSUM (reference = first value, k=1/2, h=64) on the
+    chosen token series — fold states and alarms, bit-exact vs the
+    recursive-CTE oracle."""
+    from matrixprofile_spark.operators import detect as DT
+
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    ids = _chosen_token_series(spark, sf_dir).select("conv_id", "metric")
+    return DT.cusum_flags(tok.join(ids, ["conv_id", "metric"]), 1, 2, 64)
+
+
+def _q_rollup_1h_quantiles(spark, sf_dir):
+    """Exact discrete p50/p95/p99 per (metric, 1h bucket): value at
+    1-based rank (pct·n+99) DIV 100 — integer position arithmetic, one
+    exchange."""
+    from matrixprofile_spark.operators.rollup import rollup_quantiles
+
+    return rollup_quantiles(_series(spark, sf_dir), 3600, (50, 95, 99))
+
+
+def _q_sax_w4(spark, sf_dir):
+    """Quantile-adaptive SAX symbols (PAA w=4, 4-symbol alphabet from
+    per-series exact quartiles); every compare cleared of division."""
+    ser = _series(spark, sf_dir).where(F.col("conv_id") < "conv-00100")
+    return S.sax_symbols(ser, paa_w=4)
+
+
+def _q_rolling_corr_w16(spark, sf_dir):
+    """Sliding 16-turn latency×token correlation pieces per
+    conversation, emitted as the exact integer sums (num, den²) so the
+    row hashes bit-exactly (the sqrt is the reader's one float step)."""
+    return S.rolling_corr(
+        _transcripts(spark, sf_dir).where(F.col("conv_id") < "conv-00100"),
+        16)
+
+
+def _q_events_funnel(spark, sf_dir):
+    """Greedy ordered funnel signup→view→click→purchase over the events
+    table (earliest-feasible chain per user, strict microsecond order);
+    one groupBy(user), no self-joins."""
+    from matrixprofile_spark.operators.temporal import funnel_counts
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_type",
+        F.expr("timestampdiff(MICROSECOND,"
+               " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias("ts_us"),
+    )
+    return funnel_counts(ev, ("signup", "view", "click", "purchase"))
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -713,6 +784,24 @@ def _q_snippets(spark, sf_dir):
 def _q_skimp_pmp(spark, sf_dir):
     chosen = _chosen_token_series(spark, sf_dir)
     prof = P.skimp_profiles(chosen, windows=[8, 16, 32], packed=True, n_groups=5)
+    return prof.select(
+        "conv_id", "metric", "w",
+        F.posexplode("mp").alias("idx", "dist"),
+    ).select("conv_id", "metric", "w",
+             F.col("idx").cast("bigint").alias("idx"),
+             F.round("dist", 2).alias("dist_r2"))
+
+
+def _q_skimp_sampled(spark, sf_dir):
+    """Anytime SKIMP (skimp.py:168-191): sample_pct=0.5 over the window
+    grid [8,16,32,48,64] computes exactly the BFS binary-split prefix —
+    binary_split(5) = [0,2,1,3,4], floor(5·0.5)=2 kept → windows {8,32}.
+    The pruning is driver-side arithmetic on the window LIST (a pure
+    function, no RNG), so the oracle can pin the surviving subset
+    deterministically; each kept (series, w) pair is its own task."""
+    chosen = _chosen_token_series(spark, sf_dir)
+    prof = P.skimp_profiles(chosen, windows=[8, 16, 32, 48, 64],
+                            sample_pct=0.5, packed=True, n_groups=5)
     return prof.select(
         "conv_id", "metric", "w",
         F.posexplode("mp").alias("idx", "dist"),
@@ -1674,8 +1763,17 @@ def _last_verified_round() -> dict[str, int]:
     first 50 registry entries in rounds 2 and 3), so `queries()` orders the
     registry least-recently-verified-first. This makes rotation structural:
     every round the driver emits a new artifact and the next round's
-    ordering follows from it — no query goes more than one round without a
-    fresh row, with no hand-maintained list to go stale.
+    ordering follows from it, with no hand-maintained list to go stale.
+    With >50 registry entries the worst-case evidence age is
+    ceil(N/50) rounds; never-verified and last-seen-FAILED queries jump
+    the queue, so a red row is always retried the very next round.
+
+    A row counts as "verified" only if it was GREEN: a hash-checked pass
+    (hash_match true) or a rows-only pass (hash_match null, rows_match
+    true, no err). A failed or errored row leaves the query in the
+    never-verified bucket so the fix lands a fresh row immediately —
+    r6's gap_report hash-fail must not push the query out of the r7
+    window.
     """
     import glob
     import json
@@ -1695,7 +1793,13 @@ def _last_verified_round() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         rnd = int(m.group(1))
-        for name in rows:
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            hm = row.get("hash_match")
+            green = hm is True or (hm is None and row.get("rows_match"))
+            if not green:
+                continue
             rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 
@@ -1728,6 +1832,13 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_corr": _q_metric_corr,
         "acf_token": _q_acf_token,
         "seasonal_w12": _q_seasonal_w12,
+        "anomaly_z16": _q_anomaly_z16,
+        "ewma_q4": _q_ewma_q4,
+        "cusum_shift": _q_cusum_shift,
+        "rollup_1h_quantiles": _q_rollup_1h_quantiles,
+        "sax_w4": _q_sax_w4,
+        "rolling_corr_w16": _q_rolling_corr_w16,
+        "events_funnel": _q_events_funnel,
         "twa_1h": _q_twa_1h,
         "downsample_lttb": _q_downsample_lttb,
         "sessionize": _q_sessionize,
@@ -1791,6 +1902,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regimes": _q_regimes,
         "snippets": _q_snippets,
         "skimp_pmp": _q_skimp_pmp,
+        "skimp_sampled": _q_skimp_sampled,
         "skimp_memo_resume": _q_skimp_memo,
         "pmp_discords_top3": _q_pmp_discords,
         "pmp_motifs_top3": _q_pmp_motifs,
@@ -3251,6 +3363,18 @@ SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b16
 UNION ALL
 SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b32
 """.strip(),
+        # anytime prefix of skimp_pmp: binary_split(5)=[0,2,1,3,4], 50%
+        # keeps two entries → only w=8 and w=32 exist in the output
+        "skimp_sampled": f"""
+WITH {_CHOSEN_CTE},
+{_w_stats_sql(8, "st8")},
+{_w_stats_sql(32, "st32")},
+{_mpx_block_sql(8, "st8", "8")},
+{_mpx_block_sql(32, "st32", "32")}
+SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b8
+UNION ALL
+SELECT conv_id, 'token_count' AS metric, w, idx, dist_r2 FROM b32
+""".strip(),
         "mstomp_w16": f"""
 WITH {_CHOSEN_CTE},
 nsz AS (SELECT conv_id, count(*) AS n FROM r GROUP BY 1),
@@ -4080,6 +4204,194 @@ SELECT conv_id, CAST(n AS BIGINT) AS n_turns,
              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
          AS corr_r6
 FROM a
+""".strip(),
+        "anomaly_z16": f"""
+WITH {_SERIES_CTE},
+f AS (
+  SELECT conv_id, metric, idx, value FROM series
+  WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+),
+b AS (
+  SELECT conv_id, metric, idx, value,
+         sum(value) OVER w AS s,
+         sum(value * value) OVER w AS q,
+         count(value) OVER w AS n
+  FROM f
+  WINDOW w AS (PARTITION BY conv_id, metric ORDER BY idx
+               ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+)
+SELECT conv_id, metric, idx, value,
+       (16 * value - s) * (16 * value - s) * 15
+         > 9 * 16 * (16 * q - s * s) AS is_anomaly
+FROM b WHERE n = 16
+""".strip(),
+        # EWMA fold replayed step-by-step: the recursive CTE performs
+        # the IDENTICAL IEEE sequence (x + 3*s)/4, so even rounded
+        # states hash bit-exactly (the LTTB recursive-oracle pattern).
+        "ewma_q4": f"""
+WITH RECURSIVE transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+q AS (
+  SELECT t.conv_id, list(idx ORDER BY idx) AS ids,
+         list(value ORDER BY idx) AS vs, count(*) AS n
+  FROM tok t JOIN chosen c USING (conv_id) GROUP BY 1
+),
+steps AS (
+  SELECT conv_id, ids, vs, n, 1 AS i, vs[1] AS s FROM q
+  UNION ALL
+  SELECT conv_id, ids, vs, n, i + 1, (vs[i + 1] + 3 * s) / 4
+  FROM steps WHERE i < n
+)
+SELECT conv_id, 'token_count' AS metric, ids[i] AS idx, s AS ewma
+FROM steps
+""".strip(),
+        "cusum_shift": f"""
+WITH RECURSIVE transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+q AS (
+  SELECT t.conv_id, list(idx ORDER BY idx) AS ids,
+         list(value ORDER BY idx) AS vs, count(*) AS n
+  FROM tok t JOIN chosen c USING (conv_id) GROUP BY 1
+),
+steps AS (
+  SELECT conv_id, ids, vs, n, 1 AS i,
+         CAST(0 AS DOUBLE) AS gp, CAST(0 AS DOUBLE) AS gn FROM q
+  UNION ALL
+  SELECT conv_id, ids, vs, n, i + 1,
+         greatest(CAST(0 AS DOUBLE), gp + (vs[i + 1] - vs[1]) - 0.5),
+         greatest(CAST(0 AS DOUBLE), gn - (vs[i + 1] - vs[1]) - 0.5)
+  FROM steps WHERE i < n
+)
+SELECT conv_id, 'token_count' AS metric, ids[i] AS idx,
+       gp AS g_pos, gn AS g_neg, (gp > 64 OR gn > 64) AS alarm
+FROM steps
+""".strip(),
+        "rollup_1h_quantiles": f"""
+WITH {_SERIES_CTE},
+f AS (
+  SELECT metric, CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT)
+           AS bucket_epoch, conv_id, idx, value
+  FROM series WHERE value IS NOT NULL
+),
+r AS (
+  SELECT metric, bucket_epoch, value,
+         row_number() OVER (PARTITION BY metric, bucket_epoch
+                            ORDER BY value, conv_id, idx) AS rn,
+         count(*) OVER (PARTITION BY metric, bucket_epoch) AS n
+  FROM f
+)
+SELECT metric, bucket_epoch, pct, CAST(n AS BIGINT) AS n_obs,
+       value AS q_value
+FROM r, (VALUES (50), (95), (99)) p(pct)
+WHERE rn = (pct * n + 99) // 100
+""".strip(),
+        "sax_w4": f"""
+WITH {_SERIES_CTE},
+nn AS (
+  SELECT conv_id, metric, idx, value FROM series
+  WHERE value IS NOT NULL AND conv_id < 'conv-00100'
+),
+r AS (
+  SELECT conv_id, metric, value,
+         row_number() OVER (PARTITION BY conv_id, metric
+                            ORDER BY value, idx) AS rn,
+         count(*) OVER (PARTITION BY conv_id, metric) AS n
+  FROM nn
+),
+bps AS (
+  SELECT conv_id, metric,
+         min(CASE WHEN rn = (1 * n + 3) // 4 THEN value END) AS t1,
+         min(CASE WHEN rn = (2 * n + 3) // 4 THEN value END) AS t2,
+         min(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS t3
+  FROM r GROUP BY 1, 2
+),
+segs AS (
+  SELECT conv_id, metric, idx // 4 AS seg_idx,
+         sum(value) AS sv, count(*) AS c
+  FROM nn GROUP BY 1, 2, 3
+)
+SELECT s.conv_id, s.metric, s.seg_idx, CAST(c AS BIGINT) AS n_points,
+       CAST(1 + CAST(s.sv > b.t1 * c AS INT)
+              + CAST(s.sv > b.t2 * c AS INT)
+              + CAST(s.sv > b.t3 * c AS INT) AS INT) AS symbol
+FROM segs s JOIN bps b USING (conv_id, metric)
+""".strip(),
+        "rolling_corr_w16": f"""
+WITH transcripts AS ({_T}),
+xy AS (
+  SELECT conv_id, turn_idx,
+         CAST(ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS DOUBLE) AS x,
+         CAST(length(text) AS DOUBLE) AS y
+  FROM transcripts WHERE conv_id < 'conv-00100'
+),
+f AS (SELECT * FROM xy WHERE x IS NOT NULL),
+b AS (
+  SELECT conv_id, turn_idx,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy
+  FROM f
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+)
+SELECT conv_id, turn_idx,
+       n * sxy - sx * sy AS corr_num,
+       n * sxx - sx * sx AS den2_x,
+       n * syy - sy * sy AS den2_y
+FROM b WHERE n = 16
+""".strip(),
+        "events_funnel": """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+),
+pu AS (
+  SELECT user_id,
+    list(t ORDER BY t) FILTER (WHERE event_type = 'signup') AS l0,
+    list(t ORDER BY t) FILTER (WHERE event_type = 'view') AS l1,
+    list(t ORDER BY t) FILTER (WHERE event_type = 'click') AS l2,
+    list(t ORDER BY t) FILTER (WHERE event_type = 'purchase') AS l3
+  FROM ev GROUP BY 1
+),
+ch AS (
+  SELECT user_id, t0, t1, t2,
+         list_min(list_filter(l3, x -> x > t2)) AS t3
+  FROM (
+    SELECT user_id, l3, t0, t1,
+           list_min(list_filter(l2, x -> x > t1)) AS t2
+    FROM (
+      SELECT user_id, l2, l3, t0,
+             list_min(list_filter(l1, x -> x > t0)) AS t1
+      FROM (SELECT user_id, l1, l2, l3, l0[1] AS t0 FROM pu)
+    )
+  )
+)
+SELECT 1 AS step, 'signup' AS event_type,
+       CAST(count(t0) AS BIGINT) AS n_users FROM ch
+UNION ALL
+SELECT 2, 'view', CAST(count(t1) AS BIGINT) FROM ch
+UNION ALL
+SELECT 3, 'click', CAST(count(t2) AS BIGINT) FROM ch
+UNION ALL
+SELECT 4, 'purchase', CAST(count(t3) AS BIGINT) FROM ch
 """.strip(),
         "top_tools_1h": f"""
 WITH transcripts AS ({_T}),

@@ -1,0 +1,154 @@
+"""Sequential detection operators: rolling z-score anomalies, EWMA
+smoothing, CUSUM change detection.
+
+These complement the matrix-profile discord path (kernels/discover.py —
+shape-based anomalies) with the classical statistical detectors an
+operations pipeline runs FIRST, because they are pure Catalyst / exact
+arithmetic and cost one window pass instead of an O(n²)-ish kernel.
+
+Cross-engine determinism strategy (the repo-wide rule the r6 gap_report
+failure taught): never emit `round(double, 6)` of a ratio — either the
+output is an integer/boolean derived by integer arithmetic that both
+engines evaluate exactly (anomaly_zscore), or it is the result of the
+SAME IEEE-754 operation sequence on both sides so even the roundings
+agree bit-for-bit (ewma / cusum left folds).
+
+Scale notes (100 TB): anomaly_zscore is one window pass over
+(conv_id, metric) — partition-local after a single hash exchange, all
+whole-stage codegen. ewma/cusum pack each series into one row
+(collect_list) and run a Catalyst `aggregate` fold — state is O(series
+length); per-conversation series are bounded (a conversation has
+thousands of turns, not billions), and the pack groupBy is the same
+exchange the matrix-profile kernels already pay. No Python in any of
+these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anomaly_zscore(series: DataFrame, w: int = 16,
+                   z: int = 3) -> DataFrame:
+    """Trailing-window z-score anomaly flags, integer-exact.
+
+    For each point x with a FULL trailing window of the w previous
+    values (current excluded): flag iff (x - μ)² > z²·σ² with μ, σ²
+    the window sample mean/variance. On integer-valued metrics the
+    inequality clears denominators exactly:
+
+        (w·x − S)² · (w−1)  >  z² · w · (w·Q − S²)
+
+    with S = Σ window values, Q = Σ window squares — every term an
+    integer-valued double (exact in float64 far below 2^53 at
+    conversation scale), so Spark and an ANSI oracle agree on the
+    BOOLEAN with no float rounding anywhere. Rows without a full
+    window are not emitted (no NULL-semantics divergence).
+    """
+    win = (
+        Window.partitionBy("conv_id", "metric")
+        .orderBy("idx")
+        .rowsBetween(-w, -1)
+    )
+    x, s, q, n = (F.col("value"), F.col("_s"), F.col("_q"),
+                  F.col("_n"))
+    base = series.where(F.col("value").isNotNull()).select(
+        "conv_id", "metric", "idx", "value",
+        F.sum("value").over(win).alias("_s"),
+        F.sum(F.col("value") * F.col("value")).over(win).alias("_q"),
+        F.count("value").over(win).alias("_n"),
+    )
+    lhs = (w * x - s) * (w * x - s) * (w - 1)
+    rhs = F.lit(z * z) * w * (w * q - s * s)
+    return (
+        base.where(n == w)
+        .select(
+            "conv_id", "metric", "idx", "value",
+            (lhs > rhs).alias("is_anomaly"),
+        )
+    )
+
+
+def _packed_fold(series: DataFrame, step_expr: str,
+                 init_expr: str = "x[0].value") -> DataFrame:
+    """Pack each (conv_id, metric) series in idx order and run a
+    Catalyst `aggregate` left fold that APPENDS every step's state, so
+    the running sequence explodes back to per-row output. `step_expr`
+    sees `acc.s` (previous state) and `v` (current value); the fold is
+    the same operation sequence any sequential oracle (recursive CTE)
+    performs, so IEEE roundings agree bit-for-bit cross-engine."""
+    packed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric")
+        .agg(F.expr(
+            "array_sort(collect_list(struct(idx, value)))").alias("x"))
+    )
+    fold = F.expr(f"""
+        aggregate(
+          slice(x, 2, size(x) - 1),
+          struct(
+            array(struct(x[0].idx AS idx, CAST({init_expr} AS DOUBLE) AS s)) AS hist,
+            CAST({init_expr} AS DOUBLE) AS s),
+          (acc, e) -> struct(
+            array_append(acc.hist,
+              struct(e.idx AS idx, CAST({step_expr} AS DOUBLE) AS s)) AS hist,
+            CAST({step_expr} AS DOUBLE) AS s),
+          acc -> acc.hist)
+    """)
+    return (
+        packed.where(F.size("x") >= 1)
+        .select("conv_id", "metric", F.explode(fold).alias("e"))
+        .select("conv_id", "metric",
+                F.col("e.idx").alias("idx"), F.col("e.s").alias("s"))
+    )
+
+
+def ewma(series: DataFrame, alpha_num: int = 1,
+         alpha_den: int = 4) -> DataFrame:
+    """Per-row exponentially weighted moving average,
+    s_t = (a·x_t + (d−a)·s_{t−1}) / d with rational α = a/d (default
+    1/4), seeded s_0 = x_0 — the standard operational smoother next to
+    the centered seasonal_decompose trend. One pack exchange + one
+    Catalyst fold; the per-step expression is identical to the
+    recursive-CTE oracle's, so results match bit-exactly even where
+    (d−a)·s rounds."""
+    a, d = alpha_num, alpha_den
+    step = f"({a} * e.value + {d - a} * acc.s) / {d}"
+    out = _packed_fold(series, step)
+    return out.select("conv_id", "metric", "idx",
+                      F.col("s").alias("ewma"))
+
+
+def cusum_flags(series: DataFrame, k_num: int = 1, k_den: int = 2,
+                h: int = 8) -> DataFrame:
+    """Two-sided CUSUM change detection against the series' FIRST value
+    as reference (deterministic, no mean estimation): with drift
+    allowance k = k_num/k_den (default 1/2),
+
+        g⁺_t = max(0, g⁺_{t−1} + (x_t − x_0) − k)
+        g⁻_t = max(0, g⁻_{t−1} − (x_t − x_0) − k)
+
+    alarm when either exceeds h. Integer-valued metrics keep every
+    state dyadic-exact; the fold order matches the recursive-CTE
+    oracle, so booleans AND states hash bit-exactly. Both sides run in
+    ONE fold by packing (g⁺, g⁻) into the state as g⁺ + g⁻/2²⁰ … no —
+    clarity wins: two folds share the same packed input via Catalyst
+    subexpression reuse; the pack exchange is paid once."""
+    ref = "x[0].value"
+    k = f"({k_num} / CAST({k_den} AS DOUBLE))"
+    pos = _packed_fold(
+        series,
+        f"greatest(CAST(0 AS DOUBLE), acc.s + (e.value - {ref}) - {k})",
+        init_expr="CAST(0 AS DOUBLE)",
+    ).withColumnRenamed("s", "g_pos")
+    neg = _packed_fold(
+        series,
+        f"greatest(CAST(0 AS DOUBLE), acc.s - (e.value - {ref}) - {k})",
+        init_expr="CAST(0 AS DOUBLE)",
+    ).withColumnRenamed("s", "g_neg")
+    j = pos.join(neg, ["conv_id", "metric", "idx"])
+    return j.select(
+        "conv_id", "metric", "idx", "g_pos", "g_neg",
+        ((F.col("g_pos") > h) | (F.col("g_neg") > h)).alias("alarm"),
+    )

@@ -22,6 +22,8 @@ Layout strategy (100 TB scale):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -241,6 +243,18 @@ def skimp_profiles(
     if windows is not None:
         spark = src.sparkSession
         wins = [int(x) for x in windows]
+        if sample_pct < 1:
+            # anytime semantics (skimp.py:168-191): the BFS split order
+            # decides WHICH windows a truncated run has computed —
+            # last_index = floor(len(order) * sample_pct). The order is
+            # a pure function of the window list, so the pruning happens
+            # HERE, before any kernel runs or any exchange: the sampled
+            # sweep ships only the surviving (series × window) tasks.
+            from matrixprofile_spark.kernels.skimp import binary_split
+
+            order = binary_split(len(wins))
+            last = min(int(math.floor(len(order) * sample_pct)), len(order))
+            wins = [wins[order[i]] for i in range(last)]
         wdf = spark.createDataFrame([(x,) for x in wins], "w int")
         return skimp_profiles_from_worklist(
             src.join(F.broadcast(wdf)),

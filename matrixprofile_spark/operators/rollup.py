@@ -23,7 +23,7 @@ stage because the bucket component splits them across reducers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TIERS_S = {"1m": 60, "1h": 3600, "1d": 86400}
@@ -277,4 +277,45 @@ def histogram_cascade(hist: DataFrame, bucket_s: int) -> DataFrame:
         hist.groupBy(
             "conv_id", "metric", bucket.alias("bucket_epoch"), "bin"
         ).agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def rollup_quantiles(series: DataFrame, bucket_s: int = 3600,
+                     pcts: tuple[int, ...] = (50, 95, 99)) -> DataFrame:
+    """EXACT discrete quantiles per (metric, time bucket) across all
+    conversations — the latency-SLO rollup (p50/p95/p99) the
+    moment sketches can't answer. Definition: the q-quantile is the
+    value at 1-based sorted position ceil(q·n/100) = (q·n + 99) DIV 100
+    (lower discrete quantile, ties broken by (value, conv_id, idx) so
+    the picked ROW is unique) — integer position arithmetic, no float
+    interpolation, hash-exact across engines.
+
+    Plan: one groupBy-free window pass — rank and count share the same
+    (metric, bucket) hash partitioning, so the whole operator is ONE
+    exchange; the pcts explode multiplies only the |pcts| picked rows,
+    not the input. At 100 TB the exact sort-within-bucket is the cost —
+    that is inherent to exact quantiles; for approximate SLOs at
+    unbounded scale use histogram_rollup (mergeable) and read quantiles
+    off the bins.
+    """
+    bucket = (F.floor(F.col("ts_epoch") / bucket_s) * bucket_s).cast("bigint")
+    part = ["metric", "bucket_epoch"]
+    wr = Window.partitionBy(*part).orderBy("value", "conv_id", "idx")
+    wn = Window.partitionBy(*part)
+    base = (
+        series.where(F.col("value").isNotNull())
+        .select("conv_id", "metric", "idx", "value",
+                bucket.alias("bucket_epoch"))
+        .select(*part, "value",
+                F.row_number().over(wr).alias("_rn"),
+                F.count(F.lit(1)).over(wn).alias("_n"))
+    )
+    picks = F.array(*[F.lit(p) for p in pcts])
+    return (
+        base.select(
+            *part, "value", "_rn", "_n", F.explode(picks).alias("pct"))
+        .where(F.col("_rn") == F.expr("(pct * _n + 99) DIV 100"))
+        .select("metric", "bucket_epoch", "pct",
+                F.col("_n").alias("n_obs"),
+                F.col("value").alias("q_value"))
     )

@@ -257,3 +257,99 @@ def seasonal_decompose(series: DataFrame, period: int = 12) -> DataFrame:
         F.round(seas_d / width, 6).alias("seasonal_r6"),
         F.round((F.col("d") - seas_d) / width, 6).alias("resid_r6"),
     )
+
+
+def sax_symbols(series: DataFrame, paa_w: int = 4) -> DataFrame:
+    """Quantile-adaptive SAX symbolization (PAA + per-series discrete
+    quartile breakpoints), the classical companion representation to
+    the matrix profile for indexing/motif pre-filtering (Lin et al.,
+    "A Symbolic Representation of Time Series"; the reference's domain
+    uses z-normal Gaussian breakpoints — this engine variant derives
+    breakpoints from the series' own EXACT order statistics instead,
+    which keeps every comparison integer-exact cross-engine and adapts
+    to non-Gaussian metrics like token counts).
+
+    Per (conv_id, metric): breakpoints t1<t2<t3 are the values at
+    1-based sorted positions (k·n+3) DIV 4, k=1..3; each PAA segment of
+    paa_w points (by idx order; ragged tail kept) maps to symbol
+    1 + Σ_k [seg_sum > t_k · seg_cnt]  — the mean-vs-threshold compare
+    cleared of division, so integer-valued metrics hash bit-exactly.
+
+    Plan: one window pass for breakpoints (conditional min per rank
+    position, same exchange as the rank), one groupBy for the segment
+    sums, one broadcast-size join per series key. All codegen.
+    """
+    nn = series.where(F.col("value").isNotNull())
+    wr = Window.partitionBy("conv_id", "metric").orderBy(
+        "value", "idx")
+    wn = Window.partitionBy("conv_id", "metric")
+    ranked = nn.select(
+        "conv_id", "metric", "idx", "value",
+        F.row_number().over(wr).alias("_rn"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    bps = ranked.groupBy("conv_id", "metric").agg(*[
+        F.min(F.when(
+            F.col("_rn") == F.expr(f"({k} * _n + 3) DIV 4"),
+            F.col("value"))).alias(f"t{k}")
+        for k in (1, 2, 3)
+    ])
+    segs = (
+        nn.groupBy(
+            "conv_id", "metric",
+            F.expr(f"idx DIV {paa_w}").alias("seg_idx"))
+        .agg(F.sum("value").alias("_sum"),
+             F.count(F.lit(1)).alias("_cnt"))
+    )
+    j = segs.join(bps, ["conv_id", "metric"])
+    sym = (
+        F.lit(1)
+        + F.when(F.col("_sum") > F.col("t1") * F.col("_cnt"), 1).otherwise(0)
+        + F.when(F.col("_sum") > F.col("t2") * F.col("_cnt"), 1).otherwise(0)
+        + F.when(F.col("_sum") > F.col("t3") * F.col("_cnt"), 1).otherwise(0)
+    )
+    return j.select(
+        "conv_id", "metric", "seg_idx",
+        F.col("_cnt").alias("n_points"),
+        sym.cast("int").alias("symbol"),
+    )
+
+
+def rolling_corr(transcripts: DataFrame, w: int = 16) -> DataFrame:
+    """Trailing-w-turn Pearson correlation pieces between the latency
+    and token-count series per conversation — metric_corr's sliding
+    twin (is the slowdown↔verbosity coupling drifting WITHIN the
+    conversation?). Emits the EXACT integer components
+
+        corr_num = n·Σxy − Σx·Σy
+        den2_x   = n·Σx² − (Σx)²      den2_y = n·Σy² − (Σy)²
+
+    (corr = corr_num / sqrt(den2_x·den2_y), left to the reader: the
+    sqrt/division is the one step engines may round differently, so
+    the operator emits the exact integers and stays hash-checkable).
+    Only full windows are emitted. One window exchange, all codegen.
+    """
+    wo = Window.partitionBy("conv_id").orderBy("turn_idx")
+    win = wo.rowsBetween(-(w - 1), 0)
+    xy = transcripts.select(
+        "conv_id", "turn_idx",
+        (F.col("ts_epoch") - F.lag("ts_epoch").over(wo))
+        .cast("double").alias("x"),
+        F.length("text").cast("double").alias("y"),
+    ).where(F.col("x").isNotNull())
+    base = xy.select(
+        "conv_id", "turn_idx",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+    )
+    n = F.col("n")
+    return base.where(n == w).select(
+        "conv_id", "turn_idx",
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).alias("corr_num"),
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den2_x"),
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).alias("den2_y"),
+    )

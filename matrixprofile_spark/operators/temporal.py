@@ -140,3 +140,65 @@ def sessionize(
             (F.col("end_ts") - F.col("start_ts")).alias("span_s"),
         )
     )
+
+
+def funnel_counts(events: DataFrame, steps: tuple[str, ...],
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts_us") -> DataFrame:
+    """Ordered funnel: per step k, how many users performed steps
+    1..k IN ORDER (each step's event strictly after the previous
+    step's chosen event). The chosen event for step k is the EARLIEST
+    occurrence after step k−1's — the standard greedy funnel, which is
+    also the maximal one (earliest-feasible choice dominates).
+
+    Plan shape: ONE groupBy(user) over events filtered to the funnel's
+    event types, computing all steps in a single aggregation pass —
+    min(ts where type=step1), then min(ts where type=step2 and
+    ts > t1), … — expressible because Spark/ANSI conditional
+    aggregates may reference other aggregates only via a two-layer
+    select; here each t_k is a scalar subexpression of sorted arrays
+    instead: per user we aggregate each step's ordered timestamp list
+    once, then resolve the greedy chain with array lookups (filter +
+    array_min) in the projection. One exchange on user, step count
+    rows out — no self-joins, no windows.
+
+    ts must be an integer column (microseconds) so the strict `>`
+    chain is exact; ties across DIFFERENT steps at identical
+    microseconds are treated as not-after (strict).
+    """
+    typed = events.where(F.col(type_col).isin(*steps))
+    aggs = [
+        F.sort_array(F.collect_list(
+            F.when(F.col(type_col) == s, F.col(ts_col)))).alias(f"_ts{k}")
+        for k, s in enumerate(steps)
+    ]
+    per_user = typed.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    # greedy chain: t0 = min(_ts0); t_k = min of _tsk elements > t_{k-1}
+    chain = per_user
+    prev = None
+    for k in range(len(steps)):
+        if prev is None:
+            expr = F.expr(f"if(size(_ts{k}) > 0, _ts{k}[0], NULL)")
+        else:
+            expr = F.expr(
+                f"array_min(filter(_ts{k}, t -> t > _t{k - 1}))")
+        chain = chain.withColumn(f"_t{k}", expr)
+        prev = k
+    counts = chain.agg(*[
+        F.sum(F.when(F.col(f"_t{k}").isNotNull(), 1).otherwise(0))
+        .alias(f"_n{k}")
+        for k in range(len(steps))
+    ])
+    # single aggregation pass; unpivot the k counters via explode
+    rows = F.array(*[
+        F.struct(
+            F.lit(k + 1).alias("step"),
+            F.lit(steps[k]).alias("event_type"),
+            F.col(f"_n{k}").cast("bigint").alias("n_users"),
+        )
+        for k in range(len(steps))
+    ])
+    return (
+        counts.select(F.explode(rows).alias("r"))
+        .select("r.step", "r.event_type", "r.n_users")
+    )
