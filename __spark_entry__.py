@@ -1474,16 +1474,12 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     from matrixprofile_spark.operators import dedup as DD
 
     corpus = _doc_corpus(spark, sf_dir)
-    # both consumers read the NON-distinct shingle stream: min is
-    # duplicate-insensitive (signatures) and collect_set dedupes
-    # (jaccard sets), so each groupBy's map-side partial collapses
-    # before its exchange and no distinct() shuffle is paid anywhere
-    sigs = DD.minhash_signatures(
-        DD.shingles(corpus, n=3, distinct=False), num_hashes=8
-    )
-    pairs = DD.lsh_candidate_pairs(sigs, bands=4)
-    sh = DD.shingles(corpus, n=3, distinct=False)
-    return DD.jaccard_pairs(sh, pairs).select(
+    # fused pipeline: signatures and Jaccard sets come out of ONE
+    # aggregation over ONE shingle explode, pinned by a checkpoint so
+    # Catalyst's column pruning can't split it back into per-consumer
+    # re-aggregations (the r6→r7 work-halving fix for the heaviest
+    # headline query; see dedup.lsh_jaccard_dedup)
+    return DD.lsh_jaccard_dedup(corpus).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
     )
 

@@ -88,6 +88,56 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
     )
 
 
+def minhash_sets(sh: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """(id, sig, sh_set) in ONE aggregation over the shingle stream.
+
+    The LSH pipeline needs two per-doc reductions of the same exploded
+    shingle table: the k min-hashes (signatures) and the distinct
+    shingle set (exact-Jaccard verification). Aggregating them together
+    halves the explode/md5 work and merges two exchanges into one —
+    min() is duplicate-insensitive and collect_set dedupes, so both
+    remain correct on the NON-distinct stream, and the partial
+    aggregate still collapses map-side before the exchange."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    aggs.append(F.collect_set("shingle").alias("sh_set"))
+    g = sh.groupBy("id").agg(*aggs)
+    return g.select(
+        "id",
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+        "sh_set",
+    )
+
+
+def lsh_jaccard_dedup(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, bands: int = 4,
+    max_bucket: int | None = 10_000, id_col: str = "doc_id",
+    text_col: str = "text", checkpoint: bool = True,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dedup: shingle → fused (signatures +
+    shingle sets) aggregate → banded candidate join → exact Jaccard.
+
+    The fused aggregate is localCheckpoint()ed (like salted.py's band
+    merge): Catalyst's column pruning would otherwise split the shared
+    groupBy back into per-consumer aggregates — one min-hash chain per
+    join side plus one collect_set chain per Jaccard side — re-running
+    the corpus-wide explode+md5 pass up to 4× (AQE stage reuse dedupes
+    only the two identical join sides). The checkpoint pins exactly ONE
+    explode + ONE exchange over the shingle stream; everything after it
+    reads the KB-per-doc (sig, set) table. At 100 TB that single pass
+    is the floor any implementation pays."""
+    ss = minhash_sets(shingles(docs, n=n, id_col=id_col,
+                               text_col=text_col, distinct=False),
+                      num_hashes)
+    if checkpoint:
+        ss = ss.localCheckpoint()
+    pairs = lsh_candidate_pairs(ss.select("id", "sig"),
+                                bands=bands, max_bucket=max_bucket)
+    return jaccard_pairs(None, pairs, sets=ss.select("id", "sh_set"))
+
+
 def _banded(sigs: DataFrame, bands: int) -> DataFrame:
     """(id, band, bucket) rows — md5 of each signature band slice."""
     return sigs.select(
@@ -165,8 +215,13 @@ def hot_lsh_buckets(
     )
 
 
-def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_pairs(sh: DataFrame | None, pairs: DataFrame,
+                  sets: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for the candidate pairs.
+
+    Pass ``sets`` (id, sh_set) to reuse a per-doc set table an upstream
+    stage already aggregated — minhash_sets emits one — instead of
+    re-aggregating the shingle stream here.
 
     One aggregate packs each doc's distinct shingles into a set array
     (collect_set dedupes, so feeding the NON-distinct shingle stream is
@@ -179,7 +234,8 @@ def jaccard_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     Zero-intersection candidates cannot exist (equal band hash ⇒ equal
     min-md5 ⇒ the minimizing shingle is shared), so emitting
     jaccard = 0 rows for them is a non-difference."""
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
+    if sets is None:
+        sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh_set"))
     a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
     n_int = F.size(F.array_intersect("set_a", "set_b"))

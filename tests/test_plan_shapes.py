@@ -144,3 +144,29 @@ def test_round6_aggregate_operators_are_single_exchange(spark):
                TS.corpus_keep(docs)):
         plan = _plan(df)
         assert plan.count("Exchange") == 1 and "Join" not in plan
+
+
+def test_minhash_sets_fuses_signature_and_set_aggregates(spark):
+    """The fused LSH pipeline must aggregate the exploded shingle
+    stream ONCE: minhash_sets computes the k min-hashes and the
+    exact-Jaccard set in the same groupBy, and every consumer reuses
+    that exchange. Two shingle explodes in the plan would mean the
+    pipeline pays the md5 pass twice at 100 TB."""
+    from matrixprofile_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} x y z a b c") for i in range(50)],
+        "doc_id int, text string",
+    )
+    out = DD.lsh_jaccard_dedup(docs, n=3, num_hashes=8, bands=4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the shingle explode (concat_ws over token slices) must NOT appear
+    # downstream of the checkpoint — every consumer reads the pinned
+    # (sig, sh_set) table; only the banding explode over sig remains
+    assert "slice(__toks" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpoint boundary
+    # and no per-consumer re-aggregation of shingles survives
+    assert "partial_min(md5" not in plan, plan
+    assert "partial_collect_set" not in plan, plan
