@@ -286,7 +286,11 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
     return DD.rare_shingle_pairs(
         _doc_corpus(spark, sf_dir), n=3, threshold=0.5,
         max_shingle_freq=20,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6"))
+    ).select(
+        "id_a", "id_b", "n_intersect", "n_union",
+        # integer-exact ppm, not round(ratio, 6) — gap_report's class
+        F.expr("(n_intersect * 1000000) DIV n_union").alias("jaccard_ppm"),
+    )
 
 
 def _q_downsample_m4(spark, sf_dir):
@@ -1480,7 +1484,10 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
     # re-aggregations (the r6→r7 work-halving fix for the heaviest
     # headline query; see dedup.lsh_jaccard_dedup)
     return DD.lsh_jaccard_dedup(corpus).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r6")
+        "id_a", "id_b", "n_intersect", "n_union",
+        # integer-exact ppm instead of round(ratio, 6): the rational
+        # half-boundary class that sank gap_report in r6
+        F.expr("(n_intersect * 1000000) DIV n_union").alias("jaccard_ppm"),
     )
 
 
@@ -1573,7 +1580,9 @@ def _q_media_features(spark, sf_dir):
     media = MM.synthesize_media(_docs(spark, sf_dir))
     return MM.media_features(media).select(
         "doc_id", "kind", "width", "height", "n_bytes",
-        F.round("mean_byte", 4).alias("mean_byte_r4"), "max_byte",
+        # sum_byte, not round(mean, 4): the mean is an integer ratio —
+        # gap_report's cross-engine half-boundary class
+        "sum_byte", "max_byte",
     )
 
 
@@ -2550,7 +2559,10 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r6
+       CAST(n_inter AS BIGINT) AS n_intersect,
+       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+       CAST((n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter)
+            AS BIGINT) AS jaccard_ppm
 FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b
@@ -2666,7 +2678,7 @@ bytes AS (  -- byte i of the utf8 payload = 2 hex chars: byte-faithful
   FROM h, unnest(range(0, nb)) t(i)
 ),
 agg AS (
-  SELECT doc_id, avg(v) AS meanb, max(v) AS maxb FROM bytes GROUP BY 1
+  SELECT doc_id, sum(v) AS sumb, max(v) AS maxb FROM bytes GROUP BY 1
 )
 SELECT h.doc_id,
        list_extract(['image', 'audio', 'video'],
@@ -2674,7 +2686,7 @@ SELECT h.doc_id,
        16 AS width,
        CAST(ceil(h.nb / 16.0) AS INTEGER) AS height,
        CAST(h.nb AS INTEGER) AS n_bytes,
-       round(a.meanb, 4) AS mean_byte_r4,
+       CAST(a.sumb AS BIGINT) AS sum_byte,
        a.maxb AS max_byte
 FROM h JOIN agg a USING (doc_id)
 """.strip(),
@@ -4144,13 +4156,15 @@ b AS (
 ),
 c AS (
   SELECT conv_id, metric, idx, s, d,
-         avg(d) OVER (PARTITION BY conv_id, metric, phase) AS seas_d
+         sum(d) OVER (PARTITION BY conv_id, metric, phase) AS sum_d,
+         count(d) OVER (PARTITION BY conv_id, metric, phase) AS n_ph
   FROM b
 )
 SELECT conv_id, metric, idx,
-       round(s / 13, 6) AS trend_r6,
-       round(seas_d / 13, 6) AS seasonal_r6,
-       round((d - seas_d) / 13, 6) AS resid_r6
+       CAST(s AS BIGINT) AS trend_xw,
+       CAST(n_ph AS BIGINT) AS n_phase,
+       CAST(sum_d AS BIGINT) AS seasonal_xwn,
+       CAST(d * n_ph - sum_d AS BIGINT) AS resid_xwn
 FROM c
 """.strip(),
         "acf_token": f"""
@@ -4601,7 +4615,10 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b,
-       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard_r6
+       CAST(n_inter AS BIGINT) AS n_intersect,
+       CAST(sa.n_sh + sb.n_sh - n_inter AS BIGINT) AS n_union,
+       CAST((n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter)
+            AS BIGINT) AS jaccard_ppm
 FROM inter i
 JOIN sizes sa ON sa.id = i.id_a
 JOIN sizes sb ON sb.id = i.id_b

@@ -239,12 +239,18 @@ def jaccard_pairs(sh: DataFrame | None, pairs: DataFrame,
     a = sets.select(F.col("id").alias("id_a"), F.col("sh_set").alias("set_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh_set").alias("set_b"))
     n_int = F.size(F.array_intersect("set_a", "set_b"))
+    n_uni = F.size("set_a") + F.size("set_b") - n_int
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            (n_int / (F.size("set_a") + F.size("set_b") - n_int)).alias("jaccard"),
+            (n_int / n_uni).alias("jaccard"),
+            # the exact integer pieces: emit THESE in hash-checked
+            # outputs — round(jaccard, k) is an integer ratio, the
+            # cross-engine half-boundary class that sank gap_report
+            n_int.cast("bigint").alias("n_intersect"),
+            n_uni.cast("bigint").alias("n_union"),
         )
     )
 

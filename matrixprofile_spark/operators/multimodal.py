@@ -90,7 +90,7 @@ def media_features(media: DataFrame) -> DataFrame:
     after a metadata filter that pruned the scan."""
     schema = (
         "doc_id bigint, kind string, width int, height int, n_bytes int, "
-        "mean_byte double, max_byte int"
+        "mean_byte double, sum_byte bigint, max_byte int"
     )
 
     def fn(it):
@@ -109,6 +109,10 @@ def media_features(media: DataFrame) -> DataFrame:
                 "n_bytes": pdf["n_bytes"].to_numpy(),
                 "mean_byte": [float(s.mean()) if len(s) else float("nan")
                               for s in streams],
+                # integer-exact twin of mean_byte: hash-checked outputs
+                # emit (sum, count), never a rounded ratio
+                "sum_byte": [int(s.sum(dtype="int64")) if len(s) else 0
+                             for s in streams],
                 "max_byte": [int(s.max()) if len(s) else 0 for s in streams],
             })
 

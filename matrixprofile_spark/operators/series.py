@@ -250,12 +250,23 @@ def seasonal_decompose(series: DataFrame, period: int = 12) -> DataFrame:
         F.when(cnt == width, s).alias("s"),
     )
     wp = Window.partitionBy("conv_id", "metric", "phase")
-    seas_d = F.avg("d").over(wp)  # exact-sum mean of integer doubles
+    # emit EXACT integer numerators, no division or rounding anywhere:
+    # trend = trend_xw / width, seasonal = seasonal_xwn / (width·n),
+    # resid = resid_xwn / (width·n). round(rational, 6) is the
+    # cross-engine half-boundary class that sank gap_report, and
+    # trend=S/13, seasonal=Σd/(13m) are concentrated small-denominator
+    # rationals; integer DIV was rejected too (Spark DIV truncates,
+    # DuckDB // floors — they disagree on the negative residuals).
+    sum_d = F.sum("d").over(wp)
+    n_ph = F.count("d").over(wp)
     return base.select(
         "conv_id", "metric", "idx",
-        F.round(F.col("s") / width, 6).alias("trend_r6"),
-        F.round(seas_d / width, 6).alias("seasonal_r6"),
-        F.round((F.col("d") - seas_d) / width, 6).alias("resid_r6"),
+        F.col("s").cast("bigint").alias("trend_xw"),
+        n_ph.cast("bigint").alias("n_phase"),
+        sum_d.cast("bigint").alias("seasonal_xwn"),
+        F.when(F.col("d").isNotNull(),
+               F.col("d") * n_ph - sum_d)
+        .cast("bigint").alias("resid_xwn"),
     )
 
 

@@ -293,9 +293,12 @@ def test_seasonal_decompose_constant_and_ramp(spark):
               "value double")
     out = S2.seasonal_decompose(ser, 12).collect()
     for r in out:
-        if r.trend_r6 is None:
+        if r.trend_xw is None:
             assert r.idx < 6 or r.idx > 23  # only edge rows undefined
             continue
+        # integer-numerator contract: trend = trend_xw / 13,
+        # seasonal = seasonal_xwn / (13·n), resid = resid_xwn / (13·n)
         want = 7.0 if r.conv_id == "c" else 3.0 * r.idx
-        assert r.trend_r6 == want
-        assert r.seasonal_r6 == 0.0 and r.resid_r6 == 0.0
+        assert r.trend_xw == 13 * want
+        assert r.seasonal_xwn == 0 and r.resid_xwn == 0
+        assert r.n_phase >= 1
