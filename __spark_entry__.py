@@ -462,6 +462,29 @@ def _q_events_funnel(spark, sf_dir):
     return funnel_counts(ev, ("signup", "view", "click", "purchase"))
 
 
+def _q_hist_quantiles_1h(spark, sf_dir):
+    """Sketch-path SLO quantiles: p50/p95/p99 read off the mergeable 1h
+    histogram tier at bin granularity — integer ranks over integer
+    cumulative counts, ONE window exchange. The scale twin of
+    rollup_1h_quantiles' exact sort."""
+    from matrixprofile_spark.operators.rollup import (histogram_rollup,
+                                                      hist_quantiles)
+
+    hist = histogram_rollup(_series(spark, sf_dir), 3600, 100.0)
+    return hist_quantiles(hist, (50, 95, 99))
+
+
+def _q_holt_forecast(spark, sf_dir):
+    """Holt linear-trend smoothing (α=β=1/4) over the 5 chosen token
+    series — level/trend/one-step forecast, bit-exact vs the
+    recursive-CTE oracle replaying the identical IEEE step."""
+    from matrixprofile_spark.operators import detect as DT
+
+    tok = S.token_count_series(_transcripts(spark, sf_dir))
+    ids = _chosen_token_series(spark, sf_dir).select("conv_id", "metric")
+    return DT.holt_forecast(tok.join(ids, ["conv_id", "metric"]))
+
+
 def _q_moving_stats(spark, sf_dir):
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     w = W.partitionBy("conv_id").orderBy("idx").rowsBetween(0, 7)
@@ -1841,6 +1864,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_q4": _q_ewma_q4,
         "cusum_shift": _q_cusum_shift,
         "rollup_1h_quantiles": _q_rollup_1h_quantiles,
+        "hist_quantiles_1h": _q_hist_quantiles_1h,
+        "holt_forecast": _q_holt_forecast,
         "sax_w4": _q_sax_w4,
         "rolling_corr_w16": _q_rolling_corr_w16,
         "events_funnel": _q_events_funnel,
@@ -4310,6 +4335,64 @@ SELECT metric, bucket_epoch, pct, CAST(n AS BIGINT) AS n_obs,
        value AS q_value
 FROM r, (VALUES (50), (95), (99)) p(pct)
 WHERE rn = (pct * n + 99) // 100
+""".strip(),
+        "hist_quantiles_1h": f"""
+WITH {_SERIES_CTE},
+h AS (
+  SELECT conv_id, metric,
+         CAST(FLOOR(ts_epoch / 3600.0) * 3600 AS BIGINT) AS bucket_epoch,
+         CAST(FLOOR(value / 100.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM series WHERE value IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+),
+c AS (
+  SELECT conv_id, metric, bucket_epoch, bin, cnt,
+         sum(cnt) OVER (PARTITION BY conv_id, metric, bucket_epoch
+                        ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY conv_id, metric, bucket_epoch) AS n
+  FROM h
+)
+SELECT conv_id, metric, bucket_epoch, pct,
+       CAST(n AS BIGINT) AS n_obs, bin AS q_bin
+FROM c, (VALUES (50), (95), (99)) p(pct)
+WHERE cum >= (pct * n + 99) // 100
+  AND cum - cnt < (pct * n + 99) // 100
+""".strip(),
+        # Holt fold replayed step-by-step: the recursive CTE performs
+        # the IDENTICAL IEEE sequence (x + 3*(l+b))/4 then
+        # ((l_new - l) + 3*b)/4, so even rounded states hash bit-exactly
+        "holt_forecast": f"""
+WITH RECURSIVE transcripts AS ({_T}),
+tok AS (
+  SELECT conv_id, turn_idx AS idx, CAST(length(text) AS DOUBLE) AS value
+  FROM transcripts
+),
+sizes AS (SELECT conv_id, count(*) AS n FROM tok GROUP BY 1),
+chosen AS (
+  SELECT conv_id FROM sizes WHERE n BETWEEN 64 AND 400
+  ORDER BY conv_id LIMIT 5
+),
+q AS (
+  SELECT t.conv_id, list(idx ORDER BY idx) AS ids,
+         list(value ORDER BY idx) AS vs, count(*) AS n
+  FROM tok t JOIN chosen c USING (conv_id) GROUP BY 1
+),
+steps AS (
+  SELECT conv_id, ids, vs, n, 1 AS i,
+         CAST(vs[1] AS DOUBLE) AS l,
+         CAST(vs[2] - vs[1] AS DOUBLE) AS b
+  FROM q WHERE n >= 2
+  UNION ALL
+  SELECT conv_id, ids, vs, n, i + 1,
+         (vs[i + 1] + 3 * (l + b)) / 4,
+         ((((vs[i + 1] + 3 * (l + b)) / 4) - l) + 3 * b) / 4
+  FROM steps WHERE i < n
+)
+SELECT conv_id, 'token_count' AS metric, ids[i] AS idx,
+       l AS level, b AS trend, l + b AS forecast_next
+FROM steps
 """.strip(),
         "sax_w4": f"""
 WITH {_SERIES_CTE},

@@ -152,3 +152,55 @@ def cusum_flags(series: DataFrame, k_num: int = 1, k_den: int = 2,
         "conv_id", "metric", "idx", "g_pos", "g_neg",
         ((F.col("g_pos") > h) | (F.col("g_neg") > h)).alias("alarm"),
     )
+
+
+def holt_forecast(series: DataFrame, alpha_num: int = 1,
+                  alpha_den: int = 4, beta_num: int = 1,
+                  beta_den: int = 4) -> DataFrame:
+    """Holt linear-trend exponential smoothing (level + trend), the
+    forecasting companion to ewma: with rational α = an/ad, β = bn/bd,
+
+        l_t = (an·x_t + (ad−an)·(l_{t−1} + b_{t−1})) / ad
+        b_t = (bn·(l_t − l_{t−1}) + (bd−bn)·b_{t−1}) / bd
+
+    seeded classically l_0 = x_0, b_0 = x_1 − x_0 (series shorter than
+    2 points are dropped). Emits (level, trend, forecast_next =
+    level + trend) per point. The per-step expressions are written ONCE
+    and replayed textually by the recursive-CTE oracle, so every IEEE
+    rounding agrees bit-for-bit cross-engine — the same contract as
+    ewma/cusum. One pack exchange + one Catalyst fold, no Python."""
+    a, ad, b, bd = alpha_num, alpha_den, beta_num, beta_den
+    lv = f"({a} * e.value + {ad - a} * (acc.l + acc.b)) / {ad}"
+    tr = f"({b} * (({lv}) - acc.l) + {bd - b} * acc.b) / {bd}"
+    packed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric")
+        .agg(F.expr(
+            "array_sort(collect_list(struct(idx, value)))").alias("x"))
+        .where(F.size("x") >= 2)
+    )
+    fold = F.expr(f"""
+        aggregate(
+          slice(x, 2, size(x) - 1),
+          struct(
+            array(struct(x[0].idx AS idx,
+                         CAST(x[0].value AS DOUBLE) AS l,
+                         CAST(x[1].value - x[0].value AS DOUBLE) AS b))
+              AS hist,
+            CAST(x[0].value AS DOUBLE) AS l,
+            CAST(x[1].value - x[0].value AS DOUBLE) AS b),
+          (acc, e) -> struct(
+            array_append(acc.hist,
+              struct(e.idx AS idx, CAST({lv} AS DOUBLE) AS l,
+                     CAST({tr} AS DOUBLE) AS b)) AS hist,
+            CAST({lv} AS DOUBLE) AS l, CAST({tr} AS DOUBLE) AS b),
+          acc -> acc.hist)
+    """)
+    return (
+        packed.select("conv_id", "metric", F.explode(fold).alias("e"))
+        .select("conv_id", "metric",
+                F.col("e.idx").alias("idx"),
+                F.col("e.l").alias("level"),
+                F.col("e.b").alias("trend"),
+                (F.col("e.l") + F.col("e.b")).alias("forecast_next"))
+    )

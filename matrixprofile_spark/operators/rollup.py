@@ -319,3 +319,43 @@ def rollup_quantiles(series: DataFrame, bucket_s: int = 3600,
                 F.col("_n").alias("n_obs"),
                 F.col("value").alias("q_value"))
     )
+
+
+def hist_quantiles(hist: DataFrame,
+                   pcts: tuple[int, ...] = (50, 95, 99)) -> DataFrame:
+    """Quantile read-off over a histogram tier — the SCALE path for
+    SLO quantiles that rollup_quantiles' exact per-bucket sort can't
+    afford at unbounded cardinality: histograms are mergeable
+    (raw→1m→1h→1d bin-wise sums), so any tier answers p50/p95/p99 at
+    bin granularity with one window pass.
+
+    Per (conv_id, metric, bucket_epoch) and percentile p: the answer is
+    the bin containing the item at 1-based rank (p·n + 99) DIV 100 —
+    the first bin whose cumulative count reaches the rank. All integer
+    arithmetic (ranks, cumulative counts, bin ids): hash-exact across
+    engines. The cumulative window and the total share one hash
+    exchange on the group key; the pcts explode multiplies only
+    candidate rows, and the (cum ≥ rank ∧ cum − cnt < rank) predicate
+    keeps exactly ONE row per (group, pct). All codegen.
+    """
+    part = ["conv_id", "metric", "bucket_epoch"]
+    wb = (
+        Window.partitionBy(*part).orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*part)
+    base = hist.select(
+        *part, "bin", "cnt",
+        F.sum("cnt").over(wb).alias("_cum"),
+        F.sum("cnt").over(wn).alias("_n"),
+    )
+    picks = F.array(*[F.lit(p) for p in pcts])
+    rank = F.expr("(pct * _n + 99) DIV 100")
+    return (
+        base.select(*part, "bin", "cnt", "_cum", "_n",
+                    F.explode(picks).alias("pct"))
+        .where((F.col("_cum") >= rank) & (F.col("_cum") - F.col("cnt") < rank))
+        .select(*part, "pct",
+                F.col("_n").cast("bigint").alias("n_obs"),
+                F.col("bin").alias("q_bin"))
+    )

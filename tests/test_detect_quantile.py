@@ -180,3 +180,49 @@ def test_skimp_sampled_bfs_prefix(spark):
     for w in (8, 32):
         got = np.asarray(out[out.w == w]["mp"].iloc[0])
         np.testing.assert_allclose(got, mpx_profile(vals, w)["mp"], atol=1e-9)
+
+
+def test_hist_quantiles_hand_case(spark):
+    # bins 0(x5), 1(x4), 2(x1): n=10 → p50 rank 5 → bin0 (cum 5);
+    # p95 rank 10 → bin2; p99 rank 10 → bin2
+    from matrixprofile_spark.operators.rollup import hist_quantiles
+
+    rows = [("c", "m", 0, 0, 5), ("c", "m", 0, 1, 4), ("c", "m", 0, 2, 1)]
+    hist = spark.createDataFrame(
+        rows, "conv_id string, metric string, bucket_epoch long, "
+              "bin long, cnt long")
+    out = hist_quantiles(hist, (50, 95, 99)).toPandas()
+    got = {int(r.pct): int(r.q_bin) for r in out.itertuples()}
+    assert got == {50: 0, 95: 2, 99: 2}
+    assert len(out) == 3 and set(out["n_obs"]) == {10}
+
+
+def test_holt_forecast_matches_python_fold_bitexact(spark):
+    vals = [3.0, 7.0, 1.0, 1.0, 9.0, 2.5, 4.0]
+    out = (
+        DT.holt_forecast(_series(spark, vals), 1, 4, 1, 4)
+        .toPandas().sort_values("idx")
+    )
+    l, b = vals[0], vals[1] - vals[0]
+    exp = [(l, b)]
+    for x in vals[1:]:
+        ln = (x + 3 * (l + b)) / 4
+        b = ((ln - l) + 3 * b) / 4
+        l = ln
+        exp.append((l, b))
+    assert out["level"].tolist() == [e[0] for e in exp]  # bit-exact
+    assert out["trend"].tolist() == [e[1] for e in exp]
+    assert out["forecast_next"].tolist() == [e[0] + e[1] for e in exp]
+
+
+def test_holt_forecast_tracks_linear_ramp(spark):
+    # a pure ramp x_t = 5t: level converges to the line, trend to 5,
+    # and the one-step forecast is exact from the seed onward
+    vals = [float(5 * i) for i in range(40)]
+    out = (
+        DT.holt_forecast(_series(spark, vals), 1, 4, 1, 4)
+        .toPandas().sort_values("idx")
+    )
+    assert abs(out["trend"].iloc[-1] - 5.0) < 1e-9
+    assert abs(out["forecast_next"].iloc[-1]
+               - (out["level"].iloc[-1] + 5.0)) < 1e-9
