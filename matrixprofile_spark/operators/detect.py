@@ -132,25 +132,47 @@ def cusum_flags(series: DataFrame, k_num: int = 1, k_den: int = 2,
     alarm when either exceeds h. Integer-valued metrics keep every
     state dyadic-exact; the fold order matches the recursive-CTE
     oracle, so booleans AND states hash bit-exactly. Both sides run in
-    ONE fold by packing (g⁺, g⁻) into the state as g⁺ + g⁻/2²⁰ … no —
-    clarity wins: two folds share the same packed input via Catalyst
-    subexpression reuse; the pack exchange is paid once."""
+    ONE fold over one packed input — the state struct carries
+    (g⁺, g⁻) together, so the whole operator is a single pack
+    exchange: no second fold, no re-join on (conv_id, metric, idx)."""
     ref = "x[0].value"
     k = f"({k_num} / CAST({k_den} AS DOUBLE))"
-    pos = _packed_fold(
-        series,
-        f"greatest(CAST(0 AS DOUBLE), acc.s + (e.value - {ref}) - {k})",
-        init_expr="CAST(0 AS DOUBLE)",
-    ).withColumnRenamed("s", "g_pos")
-    neg = _packed_fold(
-        series,
-        f"greatest(CAST(0 AS DOUBLE), acc.s - (e.value - {ref}) - {k})",
-        init_expr="CAST(0 AS DOUBLE)",
-    ).withColumnRenamed("s", "g_neg")
-    j = pos.join(neg, ["conv_id", "metric", "idx"])
-    return j.select(
-        "conv_id", "metric", "idx", "g_pos", "g_neg",
-        ((F.col("g_pos") > h) | (F.col("g_neg") > h)).alias("alarm"),
+    step_pos = f"greatest(CAST(0 AS DOUBLE), acc.gp + (e.value - {ref}) - {k})"
+    step_neg = f"greatest(CAST(0 AS DOUBLE), acc.gn - (e.value - {ref}) - {k})"
+    packed = (
+        series.where(F.col("value").isNotNull())
+        .groupBy("conv_id", "metric")
+        .agg(F.expr(
+            "array_sort(collect_list(struct(idx, value)))").alias("x"))
+    )
+    fold = F.expr(f"""
+        aggregate(
+          slice(x, 2, size(x) - 1),
+          struct(
+            array(struct(x[0].idx AS idx,
+                         CAST(0 AS DOUBLE) AS gp,
+                         CAST(0 AS DOUBLE) AS gn)) AS hist,
+            CAST(0 AS DOUBLE) AS gp,
+            CAST(0 AS DOUBLE) AS gn),
+          (acc, e) -> struct(
+            array_append(acc.hist,
+              struct(e.idx AS idx,
+                     CAST({step_pos} AS DOUBLE) AS gp,
+                     CAST({step_neg} AS DOUBLE) AS gn)) AS hist,
+            CAST({step_pos} AS DOUBLE) AS gp,
+            CAST({step_neg} AS DOUBLE) AS gn),
+          acc -> acc.hist)
+    """)
+    return (
+        packed.where(F.size("x") >= 1)
+        .select("conv_id", "metric", F.explode(fold).alias("e"))
+        .select(
+            "conv_id", "metric",
+            F.col("e.idx").alias("idx"),
+            F.col("e.gp").alias("g_pos"),
+            F.col("e.gn").alias("g_neg"),
+            ((F.col("e.gp") > h) | (F.col("e.gn") > h)).alias("alarm"),
+        )
     )
 
 
