@@ -170,3 +170,37 @@ def test_minhash_sets_fuses_signature_and_set_aggregates(spark):
     # and no per-consumer re-aggregation of shingles survives
     assert "partial_min(md5" not in plan, plan
     assert "partial_collect_set" not in plan, plan
+
+
+def test_round7_sequential_folds_are_single_exchange(spark):
+    """The detector family (EWMA, two-sided CUSUM, Holt) packs each
+    series once and folds in-row: exactly ONE exchange each, and in
+    particular NO re-join of fold outputs (cusum_flags carries both
+    sides in one fold state). anomaly_zscore and rollup_quantiles are
+    window ops whose rank/count share one hash partitioning — also a
+    single exchange."""
+    from matrixprofile_spark.operators.detect import (
+        anomaly_zscore, cusum_flags, ewma, holt_forecast)
+    from matrixprofile_spark.operators.rollup import rollup_quantiles
+
+    ser = spark.createDataFrame(
+        [("c", "m", 0, 100, 1.0)],
+        "conv_id string, metric string, idx long, ts_epoch long, "
+        "value double")
+    for df in (ewma(ser), cusum_flags(ser, 1, 2, 8), holt_forecast(ser),
+               anomaly_zscore(ser, w=4), rollup_quantiles(ser, 3600)):
+        plan = _plan(df)
+        assert plan.count("Exchange") == 1 and "Join" not in plan, plan
+
+
+def test_round7_funnel_is_two_exchanges_no_join(spark):
+    """funnel_counts: one groupBy(user) exchange + the final global
+    single-partition aggregate — no self-joins, no windows, step count
+    rows out regardless of input size."""
+    from matrixprofile_spark.operators.temporal import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20)],
+        "user_id long, event_type string, ts_us long")
+    plan = _plan(funnel_counts(ev, ("a", "b")))
+    assert plan.count("Exchange") == 2 and "Join" not in plan, plan
