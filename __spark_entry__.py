@@ -1559,6 +1559,41 @@ def _q_events_sessions(spark, sf_dir):
         "conv_id", "user_id")
 
 
+def _q_interval_error_hits(spark, sf_dir):
+    """Grid-bucketed interval-containment join (operators/temporal.py
+    interval_join): error events landing inside each per-user 12h-gap
+    session, aggregated per session. The oracle runs the naive
+    non-equi BETWEEN join — same semantics the grid shape must
+    reproduce pair-for-pair. Cent-scaled integer value sum keeps the
+    float-order class out of the hash."""
+    from matrixprofile_spark.operators import temporal as T
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    proj = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " ts)").alias("ts_epoch"),
+    )
+    sess = T.sessionize(proj, gap_s=43200)
+    errs = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+               " ts)").alias("ts_epoch"),
+        # 2-decimal doubles → exact cents: floor(x*100 + 0.5) is the
+        # same float ops + truncation on both engines (no round())
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("value_c"),
+    )
+    hits = T.interval_join(sess, errs, ["conv_id"], grid_s=86400)
+    return (
+        hits.groupBy(
+            F.col("conv_id").alias("user_id"), "session_idx", "start_ts")
+        .agg(F.count(F.lit(1)).alias("n_err"),
+             F.sum("value_c").alias("err_value_c"))
+    )
+
+
 def _q_lineitem_rollup_monthly(spark, sf_dir):
     """The rollup sketch operator is series-shape-generic: lineitem
     projects to (key, metric, ts, value) and the SAME rollup_from_raw
@@ -1855,6 +1890,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_keep": _q_corpus_keep,
         "lineitem_rollup_monthly": _q_lineitem_rollup_monthly,
         "events_sessions": _q_events_sessions,
+        "interval_error_hits": _q_interval_error_hits,
         "hist_cascade_1d": _q_hist_cascade_1d,
         "top_tools_1h": _q_top_tools_1h,
         "metric_corr": _q_metric_corr,
@@ -4090,6 +4126,46 @@ SELECT user_id, session_idx,
        count(*) AS n_turns,
        max(ts_epoch) - min(ts_epoch) AS span_s
 FROM s GROUP BY 1, 2
+""".strip(),
+        "interval_error_hits": """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS turn_idx,
+         epoch_us(ts) // 1000000 AS ts_epoch
+  FROM events
+),
+f AS (
+  SELECT user_id, turn_idx, ts_epoch,
+    CASE WHEN ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY user_id ORDER BY turn_idx) > 43200
+         THEN 1 ELSE 0 END AS newf
+  FROM e
+),
+s AS (
+  SELECT user_id, ts_epoch,
+    CAST(sum(newf) OVER (PARTITION BY user_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS session_idx
+  FROM f
+),
+sess AS (
+  SELECT user_id, session_idx,
+         min(ts_epoch) AS start_ts, max(ts_epoch) AS end_ts
+  FROM s GROUP BY 1, 2
+),
+err AS (
+  SELECT CAST(user_id AS VARCHAR) AS user_id,
+         epoch_us(ts) // 1000000 AS ts_epoch,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+  FROM events WHERE event_type = 'error'
+)
+SELECT sess.user_id, sess.session_idx, sess.start_ts,
+       count(*) AS n_err,
+       CAST(sum(err.value_c) AS BIGINT) AS err_value_c
+FROM sess JOIN err ON err.user_id = sess.user_id
+  AND err.ts_epoch BETWEEN sess.start_ts AND sess.end_ts
+GROUP BY 1, 2, 3
 """.strip(),
         "lineitem_rollup_monthly": """
 SELECT CAST(l_suppkey AS VARCHAR) AS conv_id, 'quantity' AS metric,

@@ -202,3 +202,43 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...],
         counts.select(F.explode(rows).alias("r"))
         .select("r.step", "r.event_type", "r.n_users")
     )
+
+
+def interval_join(intervals: DataFrame, points: DataFrame, keys,
+                  start_col: str = "start_ts", end_col: str = "end_ts",
+                  ts_col: str = "ts_epoch",
+                  grid_s: int = 3600) -> DataFrame:
+    """Interval-containment join: each point row joins every interval
+    row with equal `keys` and ``start_col <= ts <= end_col``
+    (inclusive) — the third temporal-join shape next to as-of and
+    sessionize (public TimescaleDB/QuestDB/Flink interval-join
+    surface; the reference's array model has no joins at all).
+
+    Spark plans a raw non-equi ``l.start <= r.ts AND r.ts <= l.end``
+    predicate as BroadcastNestedLoopJoin (or a per-key cross product
+    under an equi-key) — candidate pairs quadratic in rows-per-key,
+    the same trap asof_join avoids. This uses the grid-bucket shape
+    instead: every interval explodes to the fixed-width grid cells it
+    overlaps (``start DIV G .. end DIV G``), every point computes the
+    ONE cell it lives in (``ts DIV G``), and the join becomes a plain
+    hash equi-join on (keys…, cell) + a containment post-filter. A
+    matching pair meets in exactly one cell — the point's own — so no
+    dedup pass is needed. Cost: interval fan-out = span/G + 1 rows
+    (pick ``grid_s`` near the typical interval span to keep it O(1));
+    one shuffle of each side on (keys, cell); never a cross product.
+
+    Both timestamp columns must be integral (epoch seconds); non-key
+    column names must be disjoint across the two inputs.
+    """
+    keys = list(keys)
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(F.expr(
+            f"sequence({start_col} DIV {grid_s}, {end_col} DIV {grid_s})")))
+    pt = points.withColumn("__cell", F.expr(f"{ts_col} DIV {grid_s}"))
+    return (
+        iv.join(pt, [*keys, "__cell"])
+        .where((F.col(ts_col) >= F.col(start_col))
+               & (F.col(ts_col) <= F.col(end_col)))
+        .drop("__cell")
+    )

@@ -302,3 +302,51 @@ def test_seasonal_decompose_constant_and_ramp(spark):
         assert r.trend_xw == 13 * want
         assert r.seasonal_xwn == 0 and r.resid_xwn == 0
         assert r.n_phase >= 1
+
+
+def test_interval_join_matches_naive_between(spark):
+    """Grid-bucketed containment join == the naive non-equi BETWEEN
+    join, including intervals spanning several grid cells, zero-length
+    intervals, inclusive bounds, and cross-key isolation."""
+    from itertools import product
+
+    from matrixprofile_spark.operators.temporal import interval_join
+
+    ivs = [("a", 0, 100, 250), ("a", 1, 300, 300), ("b", 0, 50, 449),
+           ("a", 2, 260, 460)]
+    pts = [("a", i, ts) for i, ts in enumerate(
+        [99, 100, 250, 251, 299, 300, 301, 350, 460, 461])]
+    pts += [("b", 100, 100), ("b", 101, 450)]
+    intervals = spark.createDataFrame(
+        ivs, "conv_id string, session_idx long, start_ts long, "
+             "end_ts long")
+    points = spark.createDataFrame(
+        pts, "conv_id string, event_id long, ts_epoch long")
+    got = sorted(
+        (r.conv_id, r.session_idx, r.event_id)
+        for r in interval_join(
+            intervals, points, ["conv_id"], grid_s=100).collect())
+    want = sorted(
+        (ik, iidx, pid)
+        for (ik, iidx, s, e), (pk, pid, ts) in product(ivs, pts)
+        if ik == pk and s <= ts <= e)
+    assert got == want
+    # a matching pair meets in exactly one cell → no duplicates
+    assert len(got) == len(set(got))
+
+
+def test_interval_join_plans_hash_join_not_nested_loop(spark):
+    """The containment predicate must ride a hash equi-join on
+    (keys, cell) — never a BroadcastNestedLoopJoin / cartesian, which
+    is the quadratic per-key cross product at 100 TB."""
+    from matrixprofile_spark.operators.temporal import interval_join
+
+    intervals = spark.createDataFrame(
+        [("a", 0, 100, 250)],
+        "conv_id string, session_idx long, start_ts long, end_ts long")
+    points = spark.createDataFrame(
+        [("a", 1, 150)], "conv_id string, event_id long, ts_epoch long")
+    plan = interval_join(intervals, points, ["conv_id"])\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
