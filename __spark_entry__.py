@@ -2664,11 +2664,10 @@ m AS (
   FROM t
 )
 SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens,
-  round(n_distinct / n_tokens, 6) AS distinct_ratio,
-  round(n_stop / n_tokens, 6) AS stop_ratio,
-  round(0.4 * least(1.0, n_tokens / 100.0)
-        + 0.3 * (n_distinct / n_tokens)
-        + 0.3 * least(1.0, (n_stop / n_tokens) * 5), 6) AS quality
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CAST(n_stop AS BIGINT) AS n_stop,
+  CAST(4 * least(100, n_tokens) * n_tokens + 300 * n_distinct
+       + 300 * least(n_tokens, 5 * n_stop) AS BIGINT) AS quality_num
 FROM m
 """.strip(),
         "langid": """
@@ -4206,19 +4205,22 @@ best AS (
   FROM long
 ),
 s AS (
-  SELECT m.id, m.text,
+  SELECT m.id, m.text, m.n_tokens,
     0.4 * least(1.0, n_tokens / 100.0)
       + 0.3 * (n_distinct / n_tokens)
       + 0.3 * least(1.0, (n_stop / n_tokens) * 5) AS quality,
+    CAST(4 * least(100, n_tokens) * n_tokens + 300 * n_distinct
+         + 300 * least(n_tokens, 5 * n_stop) AS BIGINT) AS quality_num,
     CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang_pred
   FROM m JOIN best b ON b.id = m.id AND b.rn = 1
 ),
 d AS (
-  SELECT id, quality, lang_pred,
+  SELECT id, n_tokens, quality, quality_num, lang_pred,
          id = min(id) OVER (PARTITION BY md5(text)) AS dedup_ok
   FROM s
 )
-SELECT id, round(quality, 6) AS quality_r6, lang_pred, dedup_ok,
+SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, quality_num,
+       lang_pred, dedup_ok,
        (dedup_ok AND quality >= 0.5 AND lang_pred = 'en') AS keep
 FROM d
 """.strip(),

@@ -73,14 +73,32 @@ def _quality_parts(text_col: str):
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """score = 0.4·min(1, n_tokens/100) + 0.3·distinct_ratio +
-    0.3·min(1, stop_ratio·5); integer-count arithmetic → exact."""
-    n_tok, distinct_ratio, stop_ratio, score = _quality_parts(text_col)
+    0.3·min(1, stop_ratio·5), emitted as the EXACT integer numerator
+    over denominator 1000·n_tokens:
+
+        quality_num = 4·min(100, n)·n + 300·n_distinct + 300·min(n, 5·n_stop)
+
+    (quality = quality_num / (1000·n_tokens)). round(rational, 6)
+    doubles are the gap_report failure class — a small-integer ratio
+    can land exactly on a half-boundary of the 1e-6 grid, where
+    Spark's BigDecimal HALF_UP and another engine's binary round
+    disagree — so the operator emits only integers; the ratios are
+    one division away for the consumer."""
+    toks = _tokens(text_col)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n = F.size(toks).cast("bigint")
+    d = F.size(F.array_distinct(toks)).cast("bigint")
+    s = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_stop, t))
+    ).cast("bigint")
+    q_num = (4 * F.least(F.lit(100), n) * n + 300 * d
+             + 300 * F.least(n, 5 * s))
     return docs.select(
         F.col(id_col).alias("id"),
-        n_tok.cast("bigint").alias("n_tokens"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        n.alias("n_tokens"),
+        d.alias("n_distinct"),
+        s.alias("n_stop"),
+        q_num.cast("bigint").alias("quality_num"),
     )
 
 
@@ -120,11 +138,23 @@ def corpus_keep(docs: DataFrame, q_threshold: float = 0.5,
     builders), and dedup survivorship is a min-over-md5(text) window,
     so the whole filter costs a single exchange on the text hash — not
     the three id-keyed join shuffles that composing the three operator
-    OUTPUTS would pay. The threshold compares the UNROUNDED score.
+    OUTPUTS would pay. The threshold compares the UNROUNDED score
+    (identical IEEE op sequence both engines → bit-exact boolean); the
+    published score is the quality_score integer numerator, never a
+    round(rational, 6) double (the gap_report class).
     """
     from pyspark.sql import Window
 
     _, _, _, score = _quality_parts(text_col)
+    toks = _tokens(text_col)
+    en_stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    n = F.size(toks).cast("bigint")
+    d = F.size(F.array_distinct(toks)).cast("bigint")
+    ns = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_stop, t))
+    ).cast("bigint")
+    q_num = (4 * F.least(F.lit(100), n) * n + 300 * d
+             + 300 * F.least(n, 5 * ns))
     best = _langid_best(text_col)
     lang_pred = F.when(best["hits"] > 0, best["lang"]).otherwise("und")
     w = Window.partitionBy(F.md5(F.col(text_col)))
@@ -132,7 +162,8 @@ def corpus_keep(docs: DataFrame, q_threshold: float = 0.5,
     keep = dedup_ok & (score >= q_threshold) & (lang_pred == lang)
     return docs.select(
         F.col(id_col).alias("id"),
-        F.round(score, 6).alias("quality_r6"),
+        n.alias("n_tokens"),
+        q_num.cast("bigint").alias("quality_num"),
         lang_pred.alias("lang_pred"),
         dedup_ok.alias("dedup_ok"),
         keep.alias("keep"),
