@@ -1867,9 +1867,23 @@ def _last_verified_round() -> dict[str, int]:
     return rounds
 
 
+# Queries whose OUTPUT SCHEMA changed in a given round: a green driver
+# row from an EARLIER round verified the old schema, so it must not keep
+# the query out of the next window. Self-cleaning — once a round >= the
+# marker lands a green row, the marker is a no-op (and doubles as a
+# schema-change history).
+_SCHEMA_CHANGED_ROUND = {
+    "quality_score": 7,   # rounded ratios -> integer numerators
+    "corpus_keep": 7,     # quality_r6 -> (n_tokens, quality_num)
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
     seen = _last_verified_round()
+    for name, since in _SCHEMA_CHANGED_ROUND.items():
+        if seen.get(name, 0) < since:
+            seen[name] = 0
     order = list(base)
     # never-verified queries first (round 0), then oldest evidence first;
     # ties keep the base (cheap-to-expensive-ish) declaration order
