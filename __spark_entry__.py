@@ -1875,6 +1875,7 @@ def _last_verified_round() -> dict[str, int]:
 _SCHEMA_CHANGED_ROUND = {
     "quality_score": 7,   # rounded ratios -> integer numerators
     "corpus_keep": 7,     # quality_r6 -> (n_tokens, quality_num)
+    "events_funnel": 7,   # + sum_lag (integer conversion-lag totals)
 }
 
 
@@ -4570,13 +4571,17 @@ ch AS (
   )
 )
 SELECT 1 AS step, 'signup' AS event_type,
-       CAST(count(t0) AS BIGINT) AS n_users FROM ch
+       CAST(count(t0) AS BIGINT) AS n_users,
+       CAST(0 AS BIGINT) AS sum_lag FROM ch
 UNION ALL
-SELECT 2, 'view', CAST(count(t1) AS BIGINT) FROM ch
+SELECT 2, 'view', CAST(count(t1) AS BIGINT),
+       CAST(coalesce(sum(t1 - t0), 0) AS BIGINT) FROM ch
 UNION ALL
-SELECT 3, 'click', CAST(count(t2) AS BIGINT) FROM ch
+SELECT 3, 'click', CAST(count(t2) AS BIGINT),
+       CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM ch
 UNION ALL
-SELECT 4, 'purchase', CAST(count(t3) AS BIGINT) FROM ch
+SELECT 4, 'purchase', CAST(count(t3) AS BIGINT),
+       CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM ch
 """.strip(),
         "top_tools_1h": f"""
 WITH transcripts AS ({_T}),

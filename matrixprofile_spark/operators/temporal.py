@@ -184,23 +184,32 @@ def funnel_counts(events: DataFrame, steps: tuple[str, ...],
                 f"array_min(filter(_ts{k}, t -> t > _t{k - 1}))")
         chain = chain.withColumn(f"_t{k}", expr)
         prev = k
-    counts = chain.agg(*[
-        F.sum(F.when(F.col(f"_t{k}").isNotNull(), 1).otherwise(0))
-        .alias(f"_n{k}")
-        for k in range(len(steps))
-    ])
+    counts = chain.agg(
+        *[F.sum(F.when(F.col(f"_t{k}").isNotNull(), 1).otherwise(0))
+          .alias(f"_n{k}")
+          for k in range(len(steps))],
+        # exact integer conversion-lag totals: Σ over users reaching
+        # step k of (t_k − t_{k−1}); avg lag = sum/n is one division
+        # away for the consumer (kept integer for cross-engine hashing)
+        *[F.coalesce(
+            F.sum(F.col(f"_t{k}") - F.col(f"_t{k - 1}")), F.lit(0))
+          .cast("bigint").alias(f"_lag{k}")
+          for k in range(1, len(steps))],
+    )
     # single aggregation pass; unpivot the k counters via explode
     rows = F.array(*[
         F.struct(
             F.lit(k + 1).alias("step"),
             F.lit(steps[k]).alias("event_type"),
             F.col(f"_n{k}").cast("bigint").alias("n_users"),
+            (F.col(f"_lag{k}").cast("bigint") if k else
+             F.lit(0).cast("bigint")).alias("sum_lag"),
         )
         for k in range(len(steps))
     ])
     return (
         counts.select(F.explode(rows).alias("r"))
-        .select("r.step", "r.event_type", "r.n_users")
+        .select("r.step", "r.event_type", "r.n_users", "r.sum_lag")
     )
 
 
