@@ -37,57 +37,29 @@ import numpy as np
 
 _SUB = 128  # values per fixed-width subblock
 _U64 = np.uint64
-_FULL_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-_BITLEN_LUT = np.array(
-    [0] + [int(v).bit_length() for v in range(1, 256)], dtype=np.uint8
-)
-
-
-def _bitlen_u64(x: np.ndarray) -> np.ndarray:
-    """Per-element bit length of uint64 values, vectorized."""
-    if len(x) == 0:
-        return np.zeros(0, dtype=np.int64)
-    b = x.astype(">u8").view(np.uint8).reshape(-1, 8)
-    nz = b != 0
-    first = np.argmax(nz, axis=1)
-    has = nz.any(axis=1)
-    top = b[np.arange(len(x)), first]
-    bl = (7 - first.astype(np.int64)) * 8 + _BITLEN_LUT[top]
-    return np.where(has, bl, 0)
-
-
-def _tz_u64(x: np.ndarray) -> np.ndarray:
-    """Per-element count of trailing zeros (64 for x == 0), vectorized."""
-    low = x & (np.uint64(0) - x)  # isolate lowest set bit (mod-2^64 negate)
-    bl = _bitlen_u64(low)
-    return np.where(x == 0, 64, bl - 1)
+_WBITS = [np.arange(w, dtype=_U64) for w in range(65)]
 
 
 def _pack(vals: np.ndarray, w: int) -> bytes:
-    """Bit-pack uint64 `vals` at fixed width `w` (LSB-first in uint64
-    words, little-endian words; one pad word absorbs straddle writes)."""
+    """Bit-pack uint64 `vals` at fixed width `w`.
+
+    Layout (unchanged wire format): a pure LSB-first bitstream — bit i of
+    the stream is bit (i & 7) of byte (i >> 3) — padded with zeros to
+    ((n*w + 63)//64 + 1) * 8 bytes (one pad word absorbs reader
+    straddle). Expand to a (n, w) bit matrix and np.packbits it; the
+    little-endian uint64-word layout of the previous stride-OR writer is
+    bit-identical to this bitstream, so old blobs decode unchanged."""
     if w == 0 or len(vals) == 0:
         return b""
     n = len(vals)
     nwords = (n * w + 63) // 64 + 1
-    words = np.zeros(nwords, dtype=_U64)
-    off = np.arange(n, dtype=np.int64) * w
-    widx = off >> 6
-    shift = (off & 63).astype(_U64)
-    v = vals.astype(_U64)
-    low = v << shift
-    safe_rem = np.where(shift == 0, _U64(1), _U64(64) - shift)
-    high = np.where(shift == 0, _U64(0), v >> safe_rem)
-    # positions g, g+G, g+2G, … never share a word (G·w ≥ 64), so each
-    # stride ORs with unique indices — whole-array ops, no unbuffered
-    # per-element ufunc scatter
-    G = -(-64 // w)
-    for g in range(G):
-        wi = widx[g::G]
-        words[wi] |= low[g::G]
-        words[wi + 1] |= high[g::G]
-    return words.tobytes()
+    bits = ((vals.astype(_U64)[:, None] >> _WBITS[w]) & _U64(1)).astype(
+        np.uint8
+    )
+    buf = np.zeros(nwords * 64, dtype=np.uint8)
+    buf[: n * w] = bits.ravel()
+    return np.packbits(buf, bitorder="little").tobytes()
 
 
 def _packed_nbytes(n: int, w: int) -> int:
@@ -98,15 +70,12 @@ def _unpack(data: bytes, n: int, w: int) -> np.ndarray:
     """Inverse of _pack."""
     if w == 0 or n == 0:
         return np.zeros(n, dtype=_U64)
-    words = np.frombuffer(data, dtype=_U64)
-    off = np.arange(n, dtype=np.int64) * w
-    widx = off >> 6
-    shift = (off & 63).astype(_U64)
-    low = words[widx] >> shift
-    safe_rem = np.where(shift == 0, _U64(1), _U64(64) - shift)
-    high = np.where(shift == 0, _U64(0), words[widx + 1] << safe_rem)
-    mask = _FULL_MASK if w >= 64 else np.uint64((1 << w) - 1)
-    return (low | high) & mask
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little", count=n * w
+    )
+    return np.bitwise_or.reduce(
+        bits.reshape(n, w).astype(_U64) << _WBITS[w], axis=1
+    )
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
@@ -125,14 +94,16 @@ def _encode_subblocks(u: np.ndarray, strip_tz: bool) -> bytes:
     parts = []
     for s in range(0, len(u), _SUB):
         blk = u[s : s + _SUB]
+        # block OR carries both reductions as scalars: its lowest set bit
+        # is the min trailing-zero count, its bit length the max width
+        orv = int(np.bitwise_or.reduce(blk)) if len(blk) else 0
         if strip_tz:
-            tz = int(_tz_u64(blk).min()) if (blk != 0).any() else 64
-            tz = min(tz, 63)
-            shifted = blk >> _U64(tz)
+            tz = min((orv & -orv).bit_length() - 1, 63) if orv else 63
+            shifted = blk >> _U64(tz) if tz else blk
         else:
             tz = 0
             shifted = blk
-        w = int(_bitlen_u64(shifted).max()) if len(shifted) else 0
+        w = (orv >> tz).bit_length()
         parts.append(struct.pack("<BB", tz, w))
         parts.append(_pack(shifted, w))
     return b"".join(parts)
