@@ -1,0 +1,92 @@
+"""Exact-value parity micro-tests lifted from the reference's own suite.
+
+Each case reproduces a concrete expected array published in
+/root/reference/tests/*.py, pinning our kernels to the reference's
+numeric behavior on its own test inputs (beyond the MATLAB goldens,
+which cover the long-series paths):
+
+- pearson_to_euclidean 1d/2d   (tests/test_core.py:270-287)
+- moving_min / moving_max      (tests/test_core.py:309-344)
+- mass2 complex profile        (tests/test_mass2.py:20-32)
+- top_k_discords suppression   (tests/test_top_k_discords.py:20-63)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from matrixprofile_spark.kernels.discover import (
+    pearson_to_euclidean,
+    top_k_discords,
+)
+from matrixprofile_spark.kernels.mass import mass2
+from matrixprofile_spark.kernels.moving import moving_max, moving_min
+
+
+def test_pearson_to_euclidean_1d_reference_values():
+    a = np.array([0.23, 0.5, 0.34, 0.67, 0.88])
+    desired = np.array([2.48193473, 2, 2.29782506, 1.62480768, 0.9797959])
+    np.testing.assert_almost_equal(pearson_to_euclidean(a, [4]), desired)
+
+
+def test_pearson_to_euclidean_2d_reference_values():
+    a = np.array([[0.23, 0.5, 0.34, 0.67, 0.88],
+                  [0.23, 0.5, 0.34, 0.67, 0.88]])
+    desired = np.array([[2.48193473, 2, 2.29782506, 1.62480768, 0.9797959],
+                        [2.48193473, 2, 2.29782506, 1.62480768, 0.9797959]])
+    np.testing.assert_almost_equal(pearson_to_euclidean(a, [4, 4]), desired)
+
+
+def test_moving_min_reference_values():
+    np.testing.assert_equal(
+        moving_min(np.array([1, 1, 1, 2, 0, 2]), 4), np.array([1, 0, 0]))
+    np.testing.assert_equal(
+        moving_min(np.array([1, 0, 1, 2, 0, 2]), 4), np.array([0, 0, 0]))
+    np.testing.assert_equal(
+        moving_min(np.array([1, 1, 1, 2, 0, 2]), 2),
+        np.array([1, 1, 1, 0, 0]))
+
+
+def test_moving_max_reference_values():
+    np.testing.assert_equal(
+        moving_max(np.array([1, 1, 1, 2, 0, 2]), 4), np.array([2, 2, 2]))
+    np.testing.assert_equal(
+        moving_max(np.array([1, 0, 1, 2, 0, 2]), 4), np.array([2, 2, 2]))
+    np.testing.assert_equal(
+        moving_max(np.array([1, 1, 1, 2, 0, 2]), 2),
+        np.array([1, 1, 2, 2, 2]))
+
+
+def test_mass2_reference_values():
+    ts = np.array([1, 1, 1, 2, 1, 1, 4, 5])
+    query = np.array([2, 1, 1, 4])
+    desired = np.array([
+        0.67640791 - 1.37044402e-16j,
+        3.43092352 + 0.00000000e+00j,
+        3.43092352 + 1.02889035e-17j,
+        0.0 + 0.00000000e+00j,
+        1.85113597 + 1.21452707e-17j,
+    ])
+    np.testing.assert_almost_equal(mass2(ts, query), desired)
+
+
+def test_discords_all_same_mp():
+    # all-equal profile, ez=2: suppression walks 9 -> 6 -> 3
+    out = top_k_discords(np.ones(10), w=4, ez=2, k=3)
+    np.testing.assert_equal(out, np.array([9, 6, 3]))
+
+
+def test_discords_no_exclusion():
+    out = top_k_discords(np.array([1.0, 2, 3, 4]), w=4, ez=0, k=3)
+    np.testing.assert_equal(out, np.array([3, 2, 1]))
+
+
+def test_discords_no_exclusion_all():
+    out = top_k_discords(np.array([1.0, 2, 3, 4]), w=4, ez=0, k=4)
+    np.testing.assert_equal(out, np.array([3, 2, 1, 0]))
+
+
+def test_discords_exclude_one():
+    # ez=1: picking 3 masks 2; picking 1 masks 0 -> only [3, 1] remain
+    out = top_k_discords(np.array([1.0, 2, 3, 4]), w=4, ez=1, k=4)
+    np.testing.assert_equal(out, np.array([3, 1]))
