@@ -90,3 +90,53 @@ def test_discords_exclude_one():
     # ez=1: picking 3 masks 2; picking 1 masks 0 -> only [3, 1] remain
     out = top_k_discords(np.array([1.0, 2, 3, 4]), w=4, ez=1, k=4)
     np.testing.assert_equal(out, np.array([3, 1]))
+
+
+def test_annotation_vectors_reference_values():
+    """tests/test_annotation_vector.py:85-145 exact expected AVs."""
+    from matrixprofile_spark.kernels import transform as T
+
+    np.testing.assert_almost_equal(
+        T.make_default_av(np.arange(6, dtype=float), 3), [1, 1, 1, 1])
+
+    complexity_cases = [
+        ([3., 3., 3., 3., 3., 3.], [0., 0., 0., 0.]),
+        ([0., 1., 2., 3., 4., 5.], [0., 0., 0., 0.]),
+        ([0., 3., 0., 2., 0., 1.],
+         [0.47295372330527, 0.32279030890406757, 0.13962038997193682, 0.]),
+    ]
+    for ts, expect in complexity_cases:
+        np.testing.assert_almost_equal(
+            T.make_complexity_av(np.array(ts), 3), expect)
+
+    meanstd_cases = [
+        ([3., 3., 3., 3., 3., 3.], [0., 0., 0., 0.]),
+        ([-10., 10., -10., 1., -1., 1.], [0., 0., 1., 1.]),
+        ([0., 3., 0., 2., 0., 1.], [0., 0., 1., 1.]),
+    ]
+    for ts, expect in meanstd_cases:
+        np.testing.assert_almost_equal(
+            T.make_meanstd_av(np.array(ts), 3), expect)
+
+    clipping_cases = [
+        ([3., 3., 3., 3., 3., 3.], [0., 0., 0., 0.]),
+        ([0., 1., 2., 3., 4., 5.], [0., 1., 1., 0.]),
+        ([0., 3., 0., 2., 0., 1.], [0., 0.5, 0.5, 1.]),
+    ]
+    for ts, expect in clipping_cases:
+        np.testing.assert_almost_equal(
+            T.make_clipping_av(np.array(ts), 3), expect)
+
+
+def test_motifs_all_inf_profile_empty():
+    """tests/test_top_k_motifs.py:19-33 — an all-inf profile yields no
+    motifs (our kernel signature is array-based, not profile-dict)."""
+    from matrixprofile_spark.kernels.discover import top_k_motifs
+
+    out = top_k_motifs(
+        ts=np.ones(8, dtype=float),
+        mp=np.full(5, np.inf),
+        pi=np.zeros(5, dtype=np.int64),
+        w=4,
+    )
+    assert out == []
