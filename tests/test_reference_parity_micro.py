@@ -140,3 +140,14 @@ def test_motifs_all_inf_profile_empty():
         w=4,
     )
     assert out == []
+
+
+def test_pairwise_dist_constant_series_reference_values():
+    """tests/test_pairwise_dist.py:23-39 — identical series at distance
+    0; constant (sigma=0) series at the w/2-capped distance 4."""
+    from matrixprofile_spark.kernels.mpdist import pairwise_dist
+
+    X = [np.arange(100, dtype=float), np.arange(100, dtype=float),
+         np.ones(100), np.zeros(100)]
+    np.testing.assert_equal(pairwise_dist(X, 8),
+                            np.array([0.0, 4, 4, 4, 4, 4]))
