@@ -9,6 +9,13 @@ which cover the long-series paths):
 - moving_min / moving_max      (tests/test_core.py:309-344)
 - mass2 complex profile        (tests/test_mass2.py:20-32)
 - top_k_discords suppression   (tests/test_top_k_discords.py:20-63)
+- annotation vectors           (tests/test_annotation_vector.py:85-145)
+- all-inf motif profile        (tests/test_top_k_motifs.py:19-33)
+- constant-series pairwise     (tests/test_pairwise_dist.py:23-39)
+
+The remaining reference expected values (binary_split, mpdist scalars,
+regimes, snippets, MATLAB long-series goldens) were already asserted in
+tests/test_kernels.py.
 """
 
 from __future__ import annotations
