@@ -171,6 +171,19 @@ def test_minhash_sets_fuses_signature_and_set_aggregates(spark):
     assert "partial_min(md5" not in plan, plan
     assert "partial_collect_set" not in plan, plan
 
+    # the pre-checkpoint side: repartition(id) must be the ONLY
+    # exchange — the per-doc groupBy's ClusteredDistribution(id) is
+    # satisfied by hashpartitioning(id, any n), so the md5-heavy
+    # shingle stage runs at cluster width with no extra shuffle
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    pre = DD.minhash_sets(
+        DD.shingles(docs.repartition(par, F.col("doc_id")),
+                    3, distinct=False), 8)
+    pre_plan = _plan(pre)
+    assert pre_plan.count("Exchange") == 1, pre_plan
+
 
 def test_round7_sequential_folds_are_single_exchange(spark):
     """The detector family (EWMA, two-sided CUSUM, Holt) packs each
