@@ -71,7 +71,21 @@ def to_json(profile: dict) -> str:
     # (io/__io.py:57-106); emit the key so engine output loads there too
     # (the engine keeps series in the series table, not in the profile)
     out.setdefault("data", {"ts": None, "query": None})
-    return json.dumps(out)
+
+    # nested ndarrays (data.ts/query, discovery sub-dicts) — the
+    # reference handles these with its JSONSerializer default
+    # (io/__io.py:21-38); mirror that for anything the top-level
+    # conversion above didn't reach
+    def _default(o):
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, np.integer):
+            return int(o)
+        if isinstance(o, np.floating):
+            return float(o)
+        raise TypeError(f"not JSON serializable: {type(o)}")
+
+    return json.dumps(out, default=_default)
 
 
 def from_json(s: str) -> dict:

@@ -196,3 +196,47 @@ def test_profiles_mpf_table_roundtrip(spark, tmp_path):
         assert np.array_equal(np.asarray(a[cid]["pi"]),
                               np.asarray(b[cid]["pi"]))
         assert a[cid]["algorithm"] == b[cid]["algorithm"]
+
+
+# -------------------------------------------------- disk facade parity
+
+
+def test_disk_facade_roundtrip_both_formats(tmp_path):
+    """io/__io.py:177-250 parity: to_disk/from_disk with json and mpf,
+    extension appended when missing, format inferred on read."""
+    from matrixprofile_spark.io import disk
+
+    prof = _mp_profile()
+    for fmt in ("json", "mpf"):
+        path = str(tmp_path / f"prof_{fmt}")  # no extension on purpose
+        disk.to_disk(prof, path, format=fmt)
+        got = disk.from_disk(f"{path}.{fmt}")  # format='infer'
+        assert got["class"] == "MatrixProfile"
+        assert got["w"] == 4
+        assert np.array_equal(got["mp"], [1.5, 0.25, 3.0])
+        assert np.array_equal(got["pi"], [2, 0, 1])
+
+
+def test_disk_facade_errors(tmp_path):
+    from matrixprofile_spark.io import disk
+
+    import pytest
+
+    with pytest.raises(ValueError, match="MatrixProfile or PMP"):
+        disk.to_disk({"class": "nope"}, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="Unsupported file format"):
+        disk.to_disk(_mp_profile(), str(tmp_path / "x"), format="csv")
+    with pytest.raises(RuntimeError, match="Unsupported file type"):
+        disk.infer_file_format("profile.parquet")
+    with pytest.raises(ValueError, match="Unsupported file format"):
+        disk.from_disk(str(tmp_path / "x.json"), format="csv")
+
+
+def test_disk_facade_extension_not_doubled(tmp_path):
+    from matrixprofile_spark.io import disk
+
+    p = str(tmp_path / "already.mpf")
+    disk.to_disk(_mp_profile(), p, format="mpf")
+    assert (tmp_path / "already.mpf").exists()
+    assert not (tmp_path / "already.mpf.mpf").exists()
+    assert disk.from_disk(p)["algorithm"] == "mpx"
