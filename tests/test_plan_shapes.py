@@ -217,3 +217,29 @@ def test_round7_funnel_is_two_exchanges_no_join(spark):
         "user_id long, event_type string, ts_us long")
     plan = _plan(funnel_counts(ev, ("a", "b")))
     assert plan.count("Exchange") == 2 and "Join" not in plan, plan
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark, tmp_path):
+    """Filters and column pruning must reach the parquet scan: a
+    token_stats projection over a filtered documents scan reads ONLY
+    (doc_id, text) and ships the predicate into PushedFilters. A
+    wrapper that breaks this (e.g. a Python-UDF pre-pass or a cache()
+    boundary) would make every 100-TB scan a full-table read."""
+    import re
+
+    from matrixprofile_spark.operators import textstats as TS
+
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"text {i}", "en", i % 7) for i in range(200)],
+        "doc_id long, text string, lang string, extra long",
+    ).write.parquet(pq)
+
+    docs = spark.read.parquet(pq).where(F.col("doc_id") < 100)
+    plan = _plan(TS.token_stats(docs))
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in cols.split(",")}
+    assert names == {"doc_id", "text"}, cols  # lang/extra pruned
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" \
+        in scan, scan
