@@ -20,7 +20,10 @@ tests/test_kernels.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pytest
 
 from matrixprofile_spark.kernels.discover import (
     pearson_to_euclidean,
@@ -158,3 +161,34 @@ def test_pairwise_dist_constant_series_reference_values():
          np.ones(100), np.zeros(100)]
     np.testing.assert_equal(pairwise_dist(X, 8),
                             np.array([0.0, 4, 4, 4, 4, 4]))
+
+
+@pytest.fixture(scope="module")
+def sampledata():
+    return np.loadtxt(
+        os.path.join(os.path.dirname(__file__), "golden", "sampledata.txt"))
+
+
+def test_compute_with_query_dispatches_ab_join(sampledata):
+    """tests/test_compute.py:36-48 — query= selects the AB-join path:
+    join=True, query embedded, still mpx."""
+    from matrixprofile_spark.kernels import workflows as W
+
+    query = sampledata[100:200]
+    p = W.compute(sampledata, windows=32, query=query)
+    assert p["algorithm"] == "mpx" and p["class"] == "MatrixProfile"
+    assert p["join"] is True and p["w"] == 32 and p["sample_pct"] == 1
+    np.testing.assert_equal(p["data"]["query"], query)
+
+
+def test_compute_no_windows_runs_max_subsequence_then_skimp(sampledata):
+    """tests/test_compute.py:85-106 — no windows: threshold drives
+    maximum_subsequence, then skimp over the inferred window range."""
+    from matrixprofile_spark.kernels import workflows as W
+
+    p = W.compute(sampledata)
+    assert p["algorithm"] == "skimp" and p["class"] == "PMP"
+    assert p["sample_pct"] == 1
+    p = W.compute(sampledata, sample_pct=0.1)
+    assert p["algorithm"] == "skimp" and p["class"] == "PMP"
+    assert p["sample_pct"] == 0.1
