@@ -192,3 +192,21 @@ def test_compute_no_windows_runs_max_subsequence_then_skimp(sampledata):
     p = W.compute(sampledata, sample_pct=0.1)
     assert p["algorithm"] == "skimp" and p["class"] == "PMP"
     assert p["sample_pct"] == 0.1
+
+
+def test_analyze_branches_reference_dispatch(sampledata):
+    """tests/test_analyze.py:39-100 (minus figures — plotting is
+    descoped per SURVEY 2.1): query -> AB-join mpx with discoveries
+    appended; no windows -> skimp PMP, sample_pct passed through."""
+    from matrixprofile_spark.kernels import workflows as W
+
+    query = sampledata[100:200]
+    p = W.analyze(sampledata, windows=32, query=query)
+    assert p["algorithm"] == "mpx" and p["join"] is True
+    assert "motifs" in p and "discords" in p
+    np.testing.assert_equal(p["data"]["query"], query)
+
+    p = W.analyze(sampledata, sample_pct=0.1)
+    assert p["algorithm"] == "skimp" and p["class"] == "PMP"
+    assert p["sample_pct"] == 0.1
+    assert "motifs" in p and "discords" in p
