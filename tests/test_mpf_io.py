@@ -240,3 +240,71 @@ def test_disk_facade_extension_not_doubled(tmp_path):
     assert (tmp_path / "already.mpf").exists()
     assert not (tmp_path / "already.mpf.mpf").exists()
     assert disk.from_disk(p)["algorithm"] == "mpx"
+
+
+# ------------------------------------------------- property round-trips
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays as np_arrays
+
+_f64 = st.floats(allow_nan=True, allow_infinity=True,
+                 allow_subnormal=True, width=64)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(1, 40),
+    data=st.data(),
+)
+def test_mpf_mp_roundtrip_property(n, data):
+    """Durability property for the from-scratch proto3 wire codec: any
+    MatrixProfile dict round-trips bit-exactly (NaN/inf/denormal mp
+    values, negative pi, optional sides present or None)."""
+    mp = data.draw(np_arrays(np.float64, n, elements=_f64))
+    pi = data.draw(np_arrays(np.int64, n,
+                             elements=st.integers(-1, 2**31)))
+    sides = data.draw(st.booleans())
+    prof = _mp_profile(
+        mp=mp, pi=pi,
+        w=data.draw(st.integers(4, 64)),
+        ez=data.draw(st.integers(0, 8)),
+        join=data.draw(st.booleans()),
+        lmp=mp[::-1].copy() if sides else None,
+        lpi=pi[::-1].copy() if sides else None,
+        rmp=None, rpi=None,
+    )
+    got = M.from_mpf(M.to_mpf(prof))
+    assert np.array_equal(got["mp"].view(np.uint64), mp.view(np.uint64))
+    assert np.array_equal(got["pi"], pi)
+    if sides:
+        assert np.array_equal(got["lmp"].view(np.uint64),
+                              mp[::-1].view(np.uint64))
+        assert np.array_equal(got["lpi"], pi[::-1])
+    else:
+        assert got["lmp"] is None and got["lpi"] is None
+    assert got["w"] == prof["w"] and got["ez"] == prof["ez"]
+    assert got["join"] is prof["join"]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.integers(1, 5), cols=st.integers(1, 30), data=st.data(),
+)
+def test_mpf_pmp_roundtrip_property(rows, cols, data):
+    pmp = data.draw(np_arrays(np.float64, (rows, cols), elements=_f64))
+    pmpi = data.draw(np_arrays(np.int64, (rows, cols),
+                               elements=st.integers(-1, 2**31)))
+    prof = {
+        "class": "PMP", "algorithm": "skimp", "metric": "pearson",
+        "sample_pct": 0.5,
+        "windows": np.arange(8, 8 + rows, dtype="int64"),
+        "pmp": pmp, "pmpi": pmpi,
+        "data": {"ts": None, "query": None},
+    }
+    got = M.from_mpf(M.to_mpf(prof))
+    assert got["class"] == "PMP"
+    assert np.array_equal(got["pmp"].view(np.uint64), pmp.view(np.uint64))
+    assert np.array_equal(got["pmpi"], pmpi)
+    assert np.array_equal(got["windows"], prof["windows"])
