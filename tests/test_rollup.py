@@ -293,3 +293,62 @@ def test_fill_sequential_matches_kernel_on_wide_gaps(spark):
                                       method=method, direction=direction)
                 sub = got[got.conv_id == cid].value.to_numpy()
                 np.testing.assert_array_equal(sub, want)
+
+
+def test_gap_report_counts_null_valued_buckets_like_oracle(spark):
+    """Cross-engine pin for the r6/r7 driver-gate divergence class: the
+    committed oracle's bucket CTE groups on the bucket ALONE (it never
+    references value), so a bucket whose points all carry NULL values is
+    still observed. Spark's gap_report must agree on such a fixture —
+    and its integer outputs must be bit-equal to DuckDB running the
+    oracle's exact expression shape over the same rows."""
+    import duckdb
+
+    rows = [
+        # conv c1: buckets 0, 60 observed, 180 observed via NULL-valued
+        # point only, holes at 120 -> n_observed=3, n_missing=1
+        ("c1", "m", 0, 5, 1.0),
+        ("c1", "m", 1, 61, None),
+        ("c1", "m", 2, 185, None),
+        # conv c2: single bucket, NULL-valued only
+        ("c2", "m", 0, 10, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, metric string, idx long, ts_epoch long, "
+              "value double")
+    got = {
+        (r["conv_id"], r["metric"]):
+            (r["n_observed"], r["n_missing"], r["longest_gap"],
+             r["coverage_ppm"])
+        for r in gapfill.gap_report(df, 60).collect()
+    }
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t AS SELECT * FROM (VALUES "
+                 "('c1','m',CAST(5 AS BIGINT), CAST(1.0 AS DOUBLE)),"
+                 "('c1','m',61,NULL),('c1','m',185,NULL),"
+                 "('c2','m',10,NULL)) v(conv_id, metric, ts_epoch, value)")
+    want = {
+        (c, m): (n_obs, n_miss, lg, ppm)
+        for c, m, n_obs, n_miss, lg, ppm in duck.execute("""
+WITH b AS (
+  SELECT conv_id, metric,
+         CAST(FLOOR(ts_epoch / 60.0) * 60 AS BIGINT) AS ts_epoch
+  FROM t GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT conv_id, metric,
+         CAST((ts_epoch - lag(ts_epoch) OVER
+           (PARTITION BY conv_id, metric ORDER BY ts_epoch)) / 60 - 1
+           AS BIGINT) AS hole
+  FROM b
+)
+SELECT conv_id, metric, count(*), coalesce(sum(hole), 0),
+       coalesce(max(hole), 0),
+       CAST((count(*) * 1000000) // (count(*) + coalesce(sum(hole), 0))
+         AS BIGINT)
+FROM g GROUP BY 1, 2
+""").fetchall()
+    }
+    assert got == want
+    assert got[("c1", "m")] == (3, 1, 1, 750000)
+    assert got[("c2", "m")] == (1, 0, 0, 1000000)
