@@ -531,7 +531,15 @@ _MPX_MINLAG = 4  # ceil(w/4), diagonals start at minlag+1 (cympx.pyx:58,82)
 
 def _chosen_token_series(spark, sf_dir):
     """token_count series of the 5 smallest-conv_id conversations with
-    64..400 turns — small, deterministic kernel-query fixture."""
+    64..400 turns — small, deterministic kernel-query fixture.
+
+    localCheckpoint (per CALL, not memoized): most discovery queries
+    reference this 5-row table twice (profile kernel + the series side
+    of with_discoveries), and Catalyst re-runs the whole generator →
+    pack chain once per reference. Materializing the tiny result pins
+    the chain to exactly one execution per query invocation — each
+    bench rep and each gate run still recomputes it from the raw input
+    (plan dedup, not cross-run caching)."""
     tok = S.token_count_series(_transcripts(spark, sf_dir))
     packed = P.pack_series(tok)
     chosen = (
@@ -539,7 +547,7 @@ def _chosen_token_series(spark, sf_dir):
         .orderBy("conv_id")
         .limit(5)
     )
-    return chosen
+    return chosen.localCheckpoint(eager=True)
 
 
 def _q_mpx_w16(spark, sf_dir):
@@ -639,6 +647,9 @@ def _chosen_tier_series(spark, sf_dir, bucket_s: int, label: str,
         .where((F.col("n") >= n_lo) & (F.col("n") <= n_hi))
         .orderBy("conv_id")
         .limit(5)
+        # same per-call plan dedup as _chosen_token_series: the tier
+        # discovery queries consume this twice (profiles + discoveries)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -908,8 +919,17 @@ def _q_salted_mpx(spark, sf_dir):
         lambda: P.pack_series(
             S.token_count_series(_transcripts(spark, sf_dir))
         ).where(F.col("n") >= 1024).localCheckpoint(eager=True))
+    # deterministic worklist bound, no action: only every 167th
+    # conversation gets the +2048-turn hot tail, so at most
+    # ceil(n_conv/167) series can clear the n>=1024 filter. Sizes the
+    # three kernel exchanges to the worklist instead of 8x cores of
+    # guaranteed-empty tasks (the cold split here is empty by
+    # construction) or AQE byte-coalescing (which would fold the O(n^2)
+    # band tasks together at real scale).
+    n_hot = -(-n_conv_for_sf(sf_dir) // 167)
     prof = salted_mpx_profiles(packed, 32, hot_threshold=1024, bands=8,
-                               packed=True, checkpoint=False)
+                               packed=True, checkpoint=False,
+                               n_groups=n_hot)
     return prof.select(
         "conv_id", F.posexplode("mp").alias("idx", "dist")
     ).select("conv_id", F.col("idx").cast("bigint").alias("idx"),

@@ -185,32 +185,31 @@ def lsh_candidate_pairs(
     A degenerate bucket (boilerplate text shared by millions of docs)
     would emit O(bucket²) candidate pairs; buckets larger than
     ``max_bucket`` are excluded from pair generation, bounding any one
-    bucket's fan-out to max_bucket²/2. The window count hash-partitions
-    on the same (band, bucket) key as the self-join, so the cap adds no
-    extra exchange. Audit what was skipped with `hot_lsh_buckets` —
-    members of a >max_bucket bucket are near-identical by construction,
-    so exact_dedup (or one representative per hot bucket) already
-    covers them; silently quadratic candidate joins do not."""
-    from pyspark.sql import Window
+    bucket's fan-out to max_bucket²/2. Audit what was skipped with
+    `hot_lsh_buckets` — members of a >max_bucket bucket are
+    near-identical by construction, so exact_dedup (or one
+    representative per hot bucket) already covers them; silently
+    quadratic candidate joins do not.
 
+    Shape (round 8): ONE aggregation packs each bucket's member ids
+    into an array, the cap is a plain size() filter on it, and the
+    ordered pairs stream out of two chained explodes — no self-join at
+    all. The previous shape computed the banded stream + bucket-size
+    window on BOTH sides of a self-join: two (band, bucket) exchanges,
+    two sorts, two windows, plus the join itself, for the identical
+    pair set. Pair fan-out is unchanged (a bucket of b members yields
+    b(b-1)/2 rows either way, pipelined through Generate rather than
+    materialized); the residual distinct() exchange on (id_a, id_b) is
+    inherent — a pair discovered via two bands must emit once."""
     banded = _banded(sigs, bands)
+    buckets = banded.groupBy("band", "bucket").agg(
+        F.collect_list("id").alias("ids"))
     if max_bucket is not None:
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-            .where(F.col("bsz") <= max_bucket)
-            .drop("bsz")
-        )
-    a = banded.alias("a")
-    b = banded.alias("b")
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 

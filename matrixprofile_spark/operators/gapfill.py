@@ -37,6 +37,30 @@ def _bucket(step_s: int):
     return (F.floor(F.col("ts_epoch") / step_s) * step_s).cast("bigint")
 
 
+def _by_series(series: DataFrame) -> DataFrame:
+    """One upfront hash repartition on the SERIES key that every stage
+    downstream rides: hashpartitioning(conv_id, metric) satisfies the
+    bucket aggregation's clustering on (conv_id, metric, bucket) —
+    equal group keys imply equal series keys — AND the lag/fill
+    window's partitioning, so the whole fused pipeline runs in one
+    post-shuffle stage. Without it the plan pays two exchanges (the
+    bucket groupBy, then the window re-shuffling the nearly-unreduced
+    bucket rows: at a 60 s grid over ~67 s median point spacing the
+    map-side partial collapses almost nothing, so both exchanges carry
+    ~the full point count). AQE still sizes the single exchange (column
+    repartition, no explicit N). Values are unchanged: the bucket mean
+    is sum/count of the group's points either way.
+
+    conv_id ONLY, not (conv_id, metric): hashpartitioning satisfies a
+    ClusteredDistribution when its expressions are a SUBSET of the
+    clustering, so the single-column exchange serves the bucket groupBy
+    (conv_id, metric, bucket) AND the window (conv_id[, metric]) alike
+    — while a two-column repartition is defeated whenever metric is a
+    constant-folded literal (the series builders emit it as one) and
+    satisfies neither requirement."""
+    return series.repartition("conv_id")
+
+
 
 def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
     """Densify to a step_s-spaced grid per (conv_id, metric).
@@ -48,7 +72,7 @@ def to_grid(series: DataFrame, step_s: int = 60) -> DataFrame:
     """
     bucket = _bucket(step_s)
     bucketed = (
-        series.where(F.col("value").isNotNull())
+        _by_series(series).where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
         .agg((F.sum("value") / F.count("value")).alias("value"))
     )
@@ -78,7 +102,7 @@ def gapfill_locf(
     Two exchanges total, no join, nothing scans raw twice."""
     bucket = _bucket(step_s)
     bucketed = (
-        series.where(F.col("value").isNotNull())
+        _by_series(series).where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
         .agg((F.sum("value") / F.count("value")).alias("value"))
     )
@@ -241,7 +265,7 @@ def gapfill_interp(series: DataFrame, step_s: int = 60) -> DataFrame:
     """
     bucket = _bucket(step_s)
     bucketed = (
-        series.where(F.col("value").isNotNull())
+        _by_series(series).where(F.col("value").isNotNull())
         .groupBy("conv_id", "metric", bucket.alias("ts_epoch"))
         .agg((F.sum("value") / F.count("value")).alias("value"))
     )
@@ -293,7 +317,7 @@ def gap_report(series: DataFrame, step_s: int = 60) -> DataFrame:
     distinct over three key columns, no count payload.
     """
     bucket = _bucket(step_s)
-    bucketed = series.select(
+    bucketed = _by_series(series).select(
         "conv_id", "metric", bucket.alias("ts_epoch")
     ).distinct()
     w = Window.partitionBy("conv_id", "metric").orderBy("ts_epoch")

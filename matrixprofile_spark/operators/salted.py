@@ -76,6 +76,7 @@ def salted_mpx_profiles(
     bands: int = 32,
     packed: bool = False,
     checkpoint: bool = True,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """MPX profiles with hot-series salting.
 
@@ -86,7 +87,17 @@ def salted_mpx_profiles(
     ``checkpoint=False`` skips the input materialization for callers
     that pass an already-checkpointed/materialized packed input (e.g. a
     memoized bench fixture) — re-checkpointing one would copy its
-    blocks on every call."""
+    blocks on every call.
+
+    ``n_groups`` (optional, an upper bound on the SERIES count) sizes
+    every kernel-stage exchange like mpx_profiles' hint: without it the
+    cold path schedules the full 8×cores explicit partitions even when
+    the cold split is empty, and the partial/merge stages fall back to
+    AQE byte-based coalescing — which under-partitions O(n²)-flop
+    Python stages whose input bytes are tiny (the documented reason
+    _grouped repartitions explicitly). Callers that know the worklist
+    bound (a chosen fixture, a per-batch hot-key list) should pass it;
+    the partial stage scales it by ``bands``."""
     # localCheckpoint (not cache): blocks are reclaimed by the context
     # cleaner once this DataFrame is unreachable, so repeated calls in a
     # long-lived session don't accumulate storage
@@ -96,7 +107,7 @@ def salted_mpx_profiles(
     cold = src.where(F.col("n") < hot_threshold)
     hot = src.where(F.col("n") >= hot_threshold)
 
-    cold_profiles = mpx_profiles(cold, w, packed=True)
+    cold_profiles = mpx_profiles(cold, w, packed=True, n_groups=n_groups)
 
     minlag = int(math.ceil(w / 4.0))
     band_ids = src.sparkSession.createDataFrame(
@@ -119,9 +130,14 @@ def salted_mpx_profiles(
             "mp": mp, "pi": pi,
         }])
 
-    partials = hot_banded.groupBy("conv_id", "metric", "band").applyInPandas(
-        partial_fn, _PARTIAL_SCHEMA
-    )
+    if n_groups is not None:
+        from matrixprofile_spark.operators.profile import _grouped
+
+        grouped_partials = _grouped(hot_banded, "conv_id", "metric", "band",
+                                    n_groups=n_groups * bands)
+    else:
+        grouped_partials = hot_banded.groupBy("conv_id", "metric", "band")
+    partials = grouped_partials.applyInPandas(partial_fn, _PARTIAL_SCHEMA)
 
     def merge_fn(key, pdf):
         pdf = pdf.sort_values("band")  # ascending-diagonal tie order
@@ -138,7 +154,12 @@ def salted_mpx_profiles(
         }
         return _profile_row(key, prof)
 
-    hot_profiles = partials.groupBy("conv_id", "metric").applyInPandas(
-        merge_fn, PROFILE_SCHEMA
-    )
+    if n_groups is not None:
+        from matrixprofile_spark.operators.profile import _grouped
+
+        grouped_merge = _grouped(partials, "conv_id", "metric",
+                                 n_groups=n_groups)
+    else:
+        grouped_merge = partials.groupBy("conv_id", "metric")
+    hot_profiles = grouped_merge.applyInPandas(merge_fn, PROFILE_SCHEMA)
     return cold_profiles.unionByName(hot_profiles)
