@@ -148,11 +148,25 @@ def _q_rollup_refresh_1m(spark, sf_dir):
     ser = _session_memo(
         spark, ("refresh_ser", sf_dir),
         lambda: _series(spark, sf_dir).localCheckpoint(eager=True))
+    # ONE shared exchange for the whole refresh: a checkpoint forgets
+    # its physical layout (LogicalRDD reports unknown partitioning), so
+    # without this each of the three aggregations over ser — base
+    # rollup, invalidation keys, recompute — paid its own full
+    # (conv_id, metric, bucket) shuffle. hashpartitioning(conv_id) is a
+    # subset of every group key here, so all three ride this exchange,
+    # and AQE's stage reuse executes the identical scan→repartition
+    # subtree once across the plan's branches (5 exchanges → 1).
+    ser = ser.repartition("conv_id")
     is_late = (F.abs(F.hash("conv_id", "idx")) % 10) == 0
     on_time = ser.where(~is_late)
     late = ser.where(is_late)
     base = rollup.rollup_from_raw(on_time, 60)
-    return rollup.refresh_rollup(base, on_time, late, 60)
+    # raw_includes_late: pass the FULL checkpointed series as the raw
+    # re-read instead of on_time∪late — the union is the same row set
+    # but erases the shared partitioning (UnionExec reports unknown),
+    # which would bring the recompute aggregation's exchange back.
+    return rollup.refresh_rollup(base, ser, late, 60,
+                                 raw_includes_late=True)
 
 
 def _q_rollup_1h_stats(spark, sf_dir):
