@@ -106,6 +106,13 @@ def _profile_row(key, prof: dict) -> pd.DataFrame:
 # even the salted diagonal-band path keeps a full copy per band task
 MAX_PACKED_POINTS = 200_000_000
 
+# hierarchical_assignments collects the condensed pairwise matrix to the
+# driver (mirroring the reference's driver-side scipy step); m series
+# mean m(m-1)/2 rows, so an unbounded m would OOM the driver silently.
+# 20k series ≈ 2·10⁸ pairs ≈ a few GB collected — the loud-failure
+# ceiling, same pattern as MAX_PACKED_POINTS.
+MAX_LINKAGE_SERIES = 20_000
+
 
 def _guard_packed(values: np.ndarray, key) -> None:
     if len(values) > MAX_PACKED_POINTS:
@@ -557,6 +564,16 @@ def hierarchical_assignments(
     from matrixprofile_spark.kernels.cluster import fcluster, linkage
 
     spark = pair_dists.sparkSession
+    n_pairs = pair_dists.count()
+    max_pairs = MAX_LINKAGE_SERIES * (MAX_LINKAGE_SERIES - 1) // 2
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"pair_dists has {n_pairs} pairs > {max_pairs} "
+            f"(MAX_LINKAGE_SERIES={MAX_LINKAGE_SERIES}); collecting the "
+            "condensed matrix would exhaust driver memory — cluster a "
+            "chosen subset (pairwise_mpdist over a bounded series list) "
+            "or raise the limit deliberately"
+        )
     rows = pair_dists.select("conv_id_a", "conv_id_b", "mpdist").collect()
     ids = sorted({r["conv_id_a"] for r in rows} | {r["conv_id_b"] for r in rows})
     pos = {c: i for i, c in enumerate(ids)}

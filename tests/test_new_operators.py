@@ -81,6 +81,21 @@ def test_hierarchical_assignments_groups_duplicates(spark, arrays):
     assert out["a"] != out["b"]
 
 
+def test_hierarchical_assignments_refuses_oversized_collect(spark, monkeypatch):
+    """The driver-side linkage collect must fail loudly with remediation
+    text when the pair table exceeds the MAX_LINKAGE_SERIES bound, not
+    OOM the driver (same loud-ceiling pattern as MAX_PACKED_POINTS)."""
+    import pytest
+
+    monkeypatch.setattr(P, "MAX_LINKAGE_SERIES", 3)
+    pairs = [(a, b, 1.0) for i, a in enumerate("abcd")
+             for b in "abcd"[i + 1:]]  # 4 series -> 6 pairs > 3*2/2
+    pd_ = spark.createDataFrame(
+        pairs, "conv_id_a string, conv_id_b string, mpdist double")
+    with pytest.raises(ValueError, match="MAX_LINKAGE_SERIES"):
+        P.hierarchical_assignments(pd_, t=2, criterion="maxclust")
+
+
 def test_pairwise_mpdist_refuses_pair_explosion(spark, arrays):
     """The quadratic theta join must refuse loudly, not schedule n²/2
     Arrow tasks, when the series set exceeds max_pairs."""
