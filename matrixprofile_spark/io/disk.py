@@ -27,8 +27,10 @@ def _check_profile(profile) -> None:
 
 def add_extension_to_path(file_path: str, extension: str) -> str:
     """io/__io.py:129-150 — append `.extension` when not already the
-    last dot suffix."""
-    if file_path.split(".")[-1].lower() != extension:
+    last dot suffix. Case-SENSITIVE like the reference's
+    endswith('.' + extension): to_disk(p, 'x.JSON', 'json') writes
+    x.JSON.json there, and so does this (r7 ADVICE parity fix)."""
+    if file_path.split(".")[-1] != extension:
         return f"{file_path}.{extension}"
     return file_path
 

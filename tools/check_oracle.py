@@ -95,8 +95,12 @@ def main():
         if name not in os_:
             print(f"{name}: rows={len(spdf)} (no oracle, rows-only) spark={t1-t0:.1f}s")
             report[name] = {
-                "rows_match": len(spdf) >= 0, "schema_match": None,
-                "hash_match": None, "spark_rows": len(spdf),
+                # None, not a vacuous True: nothing was compared for a
+                # no-oracle query, and the artifact must not overstate
+                # what was verified (r7 ADVICE)
+                "rows_match": None, "schema_match": None,
+                "hash_match": None, "oracle": False,
+                "spark_rows": len(spdf),
                 "oracle_rows": None, "err": None,
                 "spark_sec": round(t1 - t0, 2), "duck_sec": None,
             }
