@@ -131,10 +131,22 @@ def salted_mpx_profiles(
         }])
 
     if n_groups is not None:
-        from matrixprofile_spark.operators.profile import _grouped
-
-        grouped_partials = _grouped(hot_banded, "conv_id", "metric", "band",
-                                    n_groups=n_groups * bands)
+        # Unlike the general kernel stages (_grouped's 8x-cores
+        # multi-wave packing exists for UNEVEN groups), band partials
+        # are EQUAL-WORK by construction — _band_bounds splits at the
+        # quantiles of the triangular diagonal area — so several bands
+        # per task pack without stragglers and wall-clock stays
+        # total-work/cores at any scale. 2x cores keeps one short
+        # balancing wave while cutting the per-task scheduling +
+        # Python-worker round-trips that dominated the fixture (240
+        # one-band tasks 1.48 s -> 64 packed tasks 0.89 s, min of 3,
+        # same session); a worklist smaller than that gets exactly one
+        # partition per band-group.
+        cores = hot_banded.sparkSession.sparkContext.defaultParallelism
+        parts = max(1, min(n_groups * bands, cores * 2))
+        grouped_partials = hot_banded.repartition(
+            parts, "conv_id", "metric", "band"
+        ).groupBy("conv_id", "metric", "band")
     else:
         grouped_partials = hot_banded.groupBy("conv_id", "metric", "band")
     partials = grouped_partials.applyInPandas(partial_fn, _PARTIAL_SCHEMA)
